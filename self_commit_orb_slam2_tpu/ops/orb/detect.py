@@ -1,0 +1,90 @@
+"""Per-level keypoint selection: cell-wise top-1 with threshold fallback.
+
+TPU-native replacement for the reference's sequential quad-tree NMS
+(ORBextractor::DistributeOctTree, src/ORBextractor.cc:706-1050) and the 30px
+cell FAST loop with 20 -> 7 threshold fallback (:1060-1157).  Spatial
+uniformity is enforced by taking the best corner per fixed grid cell (one
+candidate per cell, like a one-shot quad tree at a fixed depth), then keeping
+the top `n_keep` cells by response.  The threshold fallback becomes a per-cell
+select between the high- and low-threshold dense response maps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LevelKeypoints(NamedTuple):
+    xy: jnp.ndarray        # [N, 2] float32 (x, y) in level-local pixel coords
+    response: jnp.ndarray  # [N] float32
+    valid: jnp.ndarray     # [N] bool
+
+
+def select_keypoints(
+    score_hi: jnp.ndarray,
+    score_lo: jnp.ndarray,
+    n_keep: int,
+    cell: int = 16,
+    border: int = 16,
+) -> LevelKeypoints:
+    """Pick up to n_keep spatially-spread corners from dense response maps.
+
+    score_hi/score_lo: NMS'd FAST responses at thresholds 20 / 7
+    (reference iniThFAST/minThFAST, src/ORBextractor.cc:1104-1157).
+    """
+    h, w = score_hi.shape
+
+    # Exclude the border band where BRIEF patches would leave the image
+    # (reference EDGE_THRESHOLD=19 with FAST allowed from 16, :91-93, :1060).
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    in_bounds = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score_hi = jnp.where(in_bounds, score_hi, 0.0)
+    score_lo = jnp.where(in_bounds, score_lo, 0.0)
+
+    # Pad to a multiple of the cell size.
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    score_hi = jnp.pad(score_hi, ((0, ph), (0, pw)))
+    score_lo = jnp.pad(score_lo, ((0, ph), (0, pw)))
+    hh, ww = h + ph, w + pw
+    ncy, ncx = hh // cell, ww // cell
+
+    def per_cell(score):
+        cells = score.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+        flat = cells.reshape(ncy, ncx, cell * cell)
+        best = jnp.max(flat, axis=-1)
+        arg = jnp.argmax(flat, axis=-1)
+        return best, arg
+
+    hi_best, hi_arg = per_cell(score_hi)
+    lo_best, lo_arg = per_cell(score_lo)
+    use_hi = hi_best > 0.0
+    best = jnp.where(use_hi, hi_best, lo_best)
+    arg = jnp.where(use_hi, hi_arg, lo_arg)
+
+    cy = jnp.arange(ncy)[:, None] * cell
+    cx = jnp.arange(ncx)[None, :] * cell
+    y = (cy + arg // cell).astype(jnp.float32)
+    x = (cx + arg % cell).astype(jnp.float32)
+
+    flat_best = best.reshape(-1)
+    flat_x = x.reshape(-1)
+    flat_y = y.reshape(-1)
+    k = min(n_keep, flat_best.shape[0])
+    top, idx = jax.lax.top_k(flat_best, k)
+    sel_x = flat_x[idx]
+    sel_y = flat_y[idx]
+    valid = top > 0.0
+    if k < n_keep:  # tiny levels: pad up to the static capacity
+        pad = n_keep - k
+        top = jnp.concatenate([top, jnp.zeros(pad, top.dtype)])
+        sel_x = jnp.concatenate([sel_x, jnp.zeros(pad, sel_x.dtype)])
+        sel_y = jnp.concatenate([sel_y, jnp.zeros(pad, sel_y.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    return LevelKeypoints(
+        xy=jnp.stack([sel_x, sel_y], axis=-1), response=top, valid=valid
+    )
