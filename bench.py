@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: full RGB-D SLAM tracking throughput + accuracy.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mirrors the reference's de-facto benchmark (dataset drivers printing
+median/mean tracking time, reference Examples/Monocular/mono_tum.cc:113-122)
+on the synthetic textured-room sequence with exact ground truth.  The
+baseline is the reference's real-time bar: 30 fps (TUM/EuRoC camera rate,
+reference Examples/RGB-D/TUM1.yaml:23) on an i7 CPU — `vs_baseline` is our
+frames/s divided by 30.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.camera import CameraParams
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    width, height, fx = 320, 240, 260.0
+
+    seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5)
+    cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
+                              bf=fx * 0.1, width=width, height=height)
+    cfg = SlamConfig(
+        camera=cam,
+        orb=OrbConfig(n_features=500),
+        caps=Capacities(max_keyframes=64, max_points=16384, local_points=1024),
+        tracking=TrackingConfig(max_frames_between_kf=10),
+        sensor="rgbd",
+    )
+    slam = System(cfg)
+
+    warmup = 6  # compile-dominated frames (first KF insert triggers mapper)
+    for i in range(n_frames):
+        slam.track_rgbd(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
+
+    steady = np.array(slam.timings[warmup:])
+    fps = 1.0 / float(np.median(steady))
+    est = np.stack([p for _, p in slam.trajectory])
+    ate = ate_rmse(est, seq.poses_gt)
+
+    print(json.dumps({
+        "metric": "rgbd_tracking_fps_320x240_500feat",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "extra": {
+            "ate_rmse_m": round(float(ate), 4),
+            "n_frames": n_frames,
+            "keyframes": slam.n_keyframes(),
+            "map_points": slam.n_points(),
+            "median_ms": round(float(np.median(steady)) * 1e3, 2),
+            "backend": str(jax.devices()[0]),
+            "tracking_lost": slam.state != 1,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

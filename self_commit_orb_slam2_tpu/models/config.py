@@ -1,0 +1,83 @@
+"""Static configuration for the SLAM engine.
+
+Replaces the reference's OpenCV-YAML settings file + hard-coded constants
+(reference src/Tracking.cc:93-218 parses camera/ORB params; thresholds are
+sprinkled at call sites — collected here with their origins cited).
+Everything is static/hashable so configs can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from ..ops.camera import CameraParams
+from ..ops.orb.extractor import OrbConfig
+
+
+class Capacities(NamedTuple):
+    """Fixed array capacities (the TPU substitute for dynamic containers)."""
+
+    max_keyframes: int = 256
+    max_points: int = 65536
+    local_points: int = 2048   # frustum-visible local map points per frame
+    local_keyframes: int = 80  # reference caps the local-KF set at 80 (Tracking.cc:1964)
+    # Local bundle adjustment window (reference uses current + all covisible
+    # KFs free and all other observers fixed, Optimizer.cc:640-724; here the
+    # window is capacity-bounded by covisibility ranking)
+    ba_free_kfs: int = 12
+    ba_fixed_kfs: int = 12
+    ba_points: int = 4096
+
+
+class TrackingConfig(NamedTuple):
+    # Keyframe policy (reference Tracking::NeedNewKeyFrame, Tracking.cc:1509-1648)
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30          # = fps in the reference
+    kf_ref_ratio_stereo: float = 0.75        # insert if tracked < 75% of ref (:1621)
+    kf_ref_ratio_mono: float = 0.9
+    kf_min_close_points: int = 100           # stereo/RGBD close-point rule (:1585-1605)
+    kf_min_new_close: int = 70
+    # Attrition trigger: insert a keyframe when tracked inliers fall to this
+    # fraction of the count at the previous keyframe.  Plays the role of the
+    # reference's c1b ("mapping is idle, minFrames elapsed" — which in its
+    # threaded design lets keyframes flow almost every frame early on,
+    # LocalMapping.cc:141-167) for our deterministic pipelined cadence.
+    kf_attrition_ratio: float = 0.6
+    # Matching (reference Tracking.cc:1353-1440, ORBmatcher radii)
+    motion_search_radius: float = 15.0
+    motion_search_radius_wide: float = 30.0
+    local_search_radius: float = 3.0         # units of scale, SearchLocalPoints th=1
+    min_motion_matches: int = 20
+    min_inliers_motion: int = 10
+    min_inliers_local: int = 30
+    # Depth handling
+    depth_threshold_factor: float = 35.0     # ThDepth: close = depth < 35 * baseline
+    max_new_points_per_kf: int = 100         # reference creates <=100 close points (:1734 region)
+    # Matching ratio for frame-to-frame
+    nn_ratio: float = 0.9
+    # Initialization: required depth features (reference uses 500 at VGA,
+    # Tracking.cc:791; scale down for smaller images)
+    min_init_depth_points: int = 100
+    # RGB-D u_right information weight (sigma_ur = 1/sqrt(w) px).  Depth
+    # sensors measure depth to ~1%, far better than the 1px-disparity noise
+    # the reference's uniform weighting assumes; the extra weight anchors
+    # translation-along-view drift in low-parallax scenes.
+    rgbd_ur_weight: float = 25.0
+
+
+class SlamConfig(NamedTuple):
+    camera: CameraParams
+    orb: OrbConfig = OrbConfig()
+    caps: Capacities = Capacities()
+    tracking: TrackingConfig = TrackingConfig()
+    sensor: str = "rgbd"  # "mono" | "stereo" | "rgbd"
+    depth_map_factor: float = 1.0
+
+    @property
+    def ur_weight(self) -> float:
+        return self.tracking.rgbd_ur_weight if self.sensor == "rgbd" else 1.0
+
+    @property
+    def th_depth(self) -> float:
+        """Close/far point split: reference mThDepth = bf * ThDepth / fx."""
+        return float(self.camera.bf / self.camera.fx * self.tracking.depth_threshold_factor)

@@ -1,0 +1,105 @@
+"""Per-frame data object: features + stereo depth + pose, as a pytree.
+
+TPU-native counterpart of the reference Frame (src/Frame.cc): construction
+runs ORB extraction, keypoint undistortion and stereo/RGB-D depth association
+in one jit-compiled call.  No feature grid is kept — windowed searches use
+dense masked tables (ops/matching/core.py) instead of the 64x48 bucket grid
+(reference src/Frame.h:55-60).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import CameraParams, backproject, undistort_points
+from ..ops.matching import stereo as stereo_ops
+from ..ops.orb import extractor as orb_extractor
+from ..ops.orb.pyramid import build_pyramid
+from .config import SlamConfig
+
+
+class FrameData(NamedTuple):
+    """All static-shape, capacity = config.orb feature budget."""
+
+    xy: jnp.ndarray        # [N, 2] undistorted level-0 pixel coords
+    xy_raw: jnp.ndarray    # [N, 2] distorted coords (for descriptor/grid ops)
+    response: jnp.ndarray  # [N]
+    angle: jnp.ndarray     # [N] radians
+    level: jnp.ndarray     # [N] int32
+    desc: jnp.ndarray      # [N, 8] uint32
+    valid: jnp.ndarray     # [N] bool
+    u_right: jnp.ndarray   # [N] float32 (-1 = mono/no depth)
+    depth: jnp.ndarray     # [N] float32 (-1 = none)
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+    def has_depth(self) -> jnp.ndarray:
+        return self.valid & (self.depth > 0.0)
+
+
+def backproject_frame(cam: CameraParams, frame: FrameData, Tcw: jnp.ndarray) -> jnp.ndarray:
+    """World positions [N, 3] of all frame features with depth (garbage rows
+    where depth invalid — mask with frame.has_depth())."""
+    pc = backproject(cam, frame.xy, jnp.maximum(frame.depth, 1e-3))
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    return (pc - t) @ R  # R^T (pc - t)
+
+
+def make_frame_rgbd(
+    config: SlamConfig, image: jnp.ndarray, depth_map: jnp.ndarray
+) -> FrameData:
+    """RGB-D frame: extract ORB, undistort, read depths (reference
+    Frame RGB-D ctor src/Frame.cc:238-349)."""
+    feats = orb_extractor.extract(image, config.orb)
+    cam = config.camera
+    xy_und = undistort_points(cam, feats.xy) if cam.has_distortion else feats.xy
+    sm = stereo_ops.stereo_from_depth(
+        feats.xy, feats.valid, depth_map, cam.bf, config.depth_map_factor
+    )
+    return FrameData(
+        xy=xy_und, xy_raw=feats.xy, response=feats.response, angle=feats.angle,
+        level=feats.level, desc=feats.desc, valid=feats.valid,
+        u_right=sm.u_right, depth=sm.depth,
+    )
+
+
+def make_frame_stereo(
+    config: SlamConfig, image_l: jnp.ndarray, image_r: jnp.ndarray
+) -> FrameData:
+    """Stereo frame: extract both eyes, row-band match for depth (reference
+    Frame stereo ctor src/Frame.cc:108-237)."""
+    cam = config.camera
+    feats_l = orb_extractor.extract(image_l, config.orb)
+    feats_r = orb_extractor.extract(image_r, config.orb)
+    pyr_l = build_pyramid(image_l, config.orb.n_levels, config.orb.scale_factor)
+    pyr_r = build_pyramid(image_r, config.orb.n_levels, config.orb.scale_factor)
+    sm = stereo_ops.match_stereo(
+        feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid,
+        feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+        pyr_l, pyr_r, cam.bf, cam.baseline * 2.0,
+        jnp.asarray(config.orb.scale_factors()),
+    )
+    xy_und = undistort_points(cam, feats_l.xy) if cam.has_distortion else feats_l.xy
+    return FrameData(
+        xy=xy_und, xy_raw=feats_l.xy, response=feats_l.response,
+        angle=feats_l.angle, level=feats_l.level, desc=feats_l.desc,
+        valid=feats_l.valid, u_right=sm.u_right, depth=sm.depth,
+    )
+
+
+def make_frame_mono(config: SlamConfig, image: jnp.ndarray) -> FrameData:
+    feats = orb_extractor.extract(image, config.orb)
+    cam = config.camera
+    xy_und = undistort_points(cam, feats.xy) if cam.has_distortion else feats.xy
+    n = feats.xy.shape[0]
+    return FrameData(
+        xy=xy_und, xy_raw=feats.xy, response=feats.response, angle=feats.angle,
+        level=feats.level, desc=feats.desc, valid=feats.valid,
+        u_right=jnp.full(n, -1.0), depth=jnp.full(n, -1.0),
+    )

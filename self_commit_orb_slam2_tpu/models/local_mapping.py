@@ -1,0 +1,301 @@
+"""Local mapping phase: runs after each keyframe insertion.
+
+TPU-native counterpart of the reference LocalMapping thread
+(src/LocalMapping.cc:72-167 Run loop).  Implemented stages (reference call
+order): observation binding + point refresh (ProcessNewKeyFrame :198),
+map-point culling (:261).  Next milestones: epipolar triangulation (:312),
+fuse (:628), local bundle adjustment (Optimizer.cc:629), keyframe culling
+(:873).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+from ..ops.matching.hamming import hamming_distance
+from . import map_state as ms
+from .config import SlamConfig
+from .map_state import MapState
+
+
+def refresh_observed_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Update descriptor / normal / scale band of points observed by a new KF.
+
+    Reference: LocalMapping::ProcessNewKeyFrame (src/LocalMapping.cc:198-259)
+    calls MapPoint::ComputeDistinctiveDescriptors and UpdateNormalAndDepth for
+    every point the new keyframe observes.  TPU variant: the representative
+    descriptor becomes the newest observation's descriptor whenever it is
+    within the observation cloud (cheap proxy for the min-median-Hamming rule,
+    MapPoint.cc:359-439 — exact recomputation happens during periodic
+    refinement); the normal is a running mean with the new viewing ray; the
+    distance band is re-anchored on the new observation.
+    """
+    ids = m.kf_obs_pt[kf_id]
+    ok = (ids >= 0) & m.kf_feat_valid[kf_id]
+    idx = jnp.where(ok, ids, m.max_pt + 1)
+
+    cam_center = se3.inverse(m.kf_Tcw[kf_id])[:3, 3]
+    pos = m.pt_pos[jnp.clip(ids, 0, m.max_pt - 1)]
+    rays = pos - cam_center
+    dist = jnp.linalg.norm(rays, axis=-1)
+    new_normal = rays / jnp.maximum(dist[:, None], 1e-9)
+    old_normal = m.pt_normal[jnp.clip(ids, 0, m.max_pt - 1)]
+    mean_normal = old_normal + new_normal
+    mean_normal = mean_normal / jnp.maximum(
+        jnp.linalg.norm(mean_normal, axis=-1, keepdims=True), 1e-9
+    )
+
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    level = m.kf_level[kf_id]
+    max_dist = dist * scale_factors[level]
+    min_dist = max_dist / scale_factors[config.orb.n_levels - 1]
+
+    desc = m.kf_desc[kf_id]
+    mode = dict(mode="drop")
+    return m._replace(
+        pt_desc=m.pt_desc.at[idx].set(desc, **mode),
+        pt_normal=m.pt_normal.at[idx].set(mean_normal, **mode),
+        pt_max_dist=m.pt_max_dist.at[idx].set(max_dist, **mode),
+        pt_min_dist=m.pt_min_dist.at[idx].set(min_dist, **mode),
+        pt_found=m.pt_found.at[idx].add(1, **mode),
+        pt_visible=m.pt_visible.at[idx].add(1, **mode),
+    )
+
+
+def cull_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Remove unreliable recent points (reference LocalMapping::MapPointCulling
+    src/LocalMapping.cc:261-310): found-ratio < 0.25, or observed by too few
+    keyframes a few keyframes after creation."""
+    obs_count = ms.observation_count(m)
+    found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0
+    )
+    age = kf_id - m.pt_first_kf  # in keyframes
+    bad = m.pt_valid & (
+        (found_ratio < 0.25)
+        | ((age >= 2) & (obs_count <= 2) & (m.pt_first_kf > 0))
+    )
+    # (points born with the first keyframe are exempt from the min-obs rule:
+    # stereo init creates single-observation points by design)
+    return m._replace(pt_valid=m.pt_valid & ~bad)
+
+
+def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Project neighbor keyframes' points into the new KF and bind matches.
+
+    Reference: LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
+    (src/LocalMapping.cc:628-779, src/ORBmatcher.cc:1020-1177): points of the
+    covisible neighborhood are projected into the keyframe; a projection that
+    lands on a feature with a close descriptor either merges duplicate points
+    or adds a missing observation.  v1 binds free features (the dominant
+    effect: densifies the observation graph and stops duplicate creation);
+    full duplicate merging (MapPoint::Replace) lands with the replace-
+    forwarding pass.
+    """
+    from ..ops.camera import in_frustum
+    from ..ops.matching import core as mcore
+
+    cam = config.camera
+    caps = config.caps
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    n_levels = config.orb.n_levels
+
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    counts = counts.at[kf_id].set(0)
+    k = min(20, m.max_kf)  # nn=20 neighbors (reference LocalMapping.cc:632)
+    topv, topi = jax.lax.top_k(counts, k)
+    neigh_mask = jnp.zeros(m.max_kf, bool).at[topi].set(topv > 0)
+
+    cand_mask = ms.points_of_keyframes(m, neigh_mask)
+    # exclude points the KF already observes
+    own = m.kf_obs_pt[kf_id]
+    own_ind = jnp.zeros(m.max_pt + 2, bool).at[
+        jnp.where(own >= 0, own, m.max_pt + 1)
+    ].set(True, mode="drop")
+    cand_mask &= ~own_ind[: m.max_pt]
+
+    C = caps.local_points
+    cand = jnp.nonzero(cand_mask, size=C, fill_value=m.max_pt)[0]
+    cand_ok = cand < m.max_pt
+    cand_c = jnp.clip(cand, 0, m.max_pt - 1)
+
+    Tcw = m.kf_Tcw[kf_id]
+    bounds = (0.0, float(cam.width), 0.0, float(cam.height))
+    vis, uv, dist, _ = in_frustum(
+        cam, Tcw, m.pt_pos[cand_c], m.pt_normal[cand_c],
+        m.pt_min_dist[cand_c] * 0.8, m.pt_max_dist[cand_c] * 1.2,
+        bounds, view_cos_limit=0.5,
+    )
+    vis &= cand_ok
+    ratio = jnp.maximum(m.pt_max_dist[cand_c] / 1.2, 1e-6) / jnp.maximum(dist, 1e-6)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(config.orb.scale_factor)).astype(jnp.int32),
+        0, n_levels - 1,
+    )
+    radius = 3.0 * scale_factors[pred_level]  # reference Fuse th=3 (:1044)
+
+    free_feat = m.kf_feat_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    wmask = mcore.window_mask(uv, m.kf_xy[kf_id], radius)
+    lmask = mcore.level_mask(pred_level, m.kf_level[kf_id], -1, 1)
+    match = mcore.mutual_best_match(
+        m.pt_desc[cand_c], m.kf_desc[kf_id], wmask & lmask,
+        vis, free_feat, max_dist=mcore.TH_LOW, ratio=None,
+    )
+    tgt = jnp.where(match.valid, match.idx, m.feat_cap + 1)
+    new_row = m.kf_obs_pt[kf_id].at[tgt].set(
+        jnp.where(match.valid, cand, -1).astype(jnp.int32), mode="drop"
+    )
+    m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_row))
+
+    # --- reverse direction: project the new KF's points into each neighbor
+    # (reference projects target-KF points into all first/second-order
+    # neighbors, src/LocalMapping.cc:690-720).  This is what gives freshly
+    # created depth-seeded points their second observation.
+    own_ids = m.kf_obs_pt[kf_id]
+    own_ok = (own_ids >= 0) & m.kf_feat_valid[kf_id]
+    own_c = jnp.clip(own_ids, 0, m.max_pt - 1)
+    pos = m.pt_pos[own_c]
+    normal = m.pt_normal[own_c]
+    mind = m.pt_min_dist[own_c] * 0.8
+    maxd = m.pt_max_dist[own_c] * 1.2
+    desc = m.pt_desc[own_c]
+
+    def fuse_one(kf_row_Tcw, kf_xy, kf_level, kf_desc, kf_fvalid, kf_obs_row, is_neigh):
+        vis_n, uv_n, dist_n, _ = in_frustum(
+            cam, kf_row_Tcw, pos, normal, mind, maxd, bounds, view_cos_limit=0.5
+        )
+        # exclude points the neighbor already observes
+        have = jnp.zeros(m.max_pt + 2, bool).at[
+            jnp.where(kf_obs_row >= 0, kf_obs_row, m.max_pt + 1)
+        ].set(True, mode="drop")
+        vis_n &= own_ok & is_neigh & ~have[own_c]
+        ratio_n = jnp.maximum(maxd / 1.2, 1e-6) / jnp.maximum(dist_n, 1e-6)
+        lvl_n = jnp.clip(
+            jnp.ceil(jnp.log(ratio_n) / jnp.log(config.orb.scale_factor)).astype(jnp.int32),
+            0, n_levels - 1,
+        )
+        rad_n = 3.0 * scale_factors[lvl_n]
+        free_n = kf_fvalid & (kf_obs_row < 0)
+        mm = mcore.mutual_best_match(
+            desc, kf_desc,
+            mcore.window_mask(uv_n, kf_xy, rad_n)
+            & mcore.level_mask(lvl_n, kf_level, -1, 1),
+            vis_n, free_n, max_dist=mcore.TH_LOW, ratio=None,
+        )
+        t = jnp.where(mm.valid, mm.idx, m.feat_cap + 1)
+        return kf_obs_row.at[t].set(
+            jnp.where(mm.valid, own_c, -1).astype(jnp.int32), mode="drop"
+        )
+
+    # only the top-k neighbor rows participate (gather -> vmap -> scatter)
+    new_rows = jax.vmap(fuse_one)(
+        m.kf_Tcw[topi], m.kf_xy[topi], m.kf_level[topi], m.kf_desc[topi],
+        m.kf_feat_valid[topi], m.kf_obs_pt[topi], topv > 0,
+    )
+    kf_obs_pt = m.kf_obs_pt.at[jnp.where(topv > 0, topi, m.max_kf + 1)].set(
+        new_rows, mode="drop"
+    )
+    return m._replace(kf_obs_pt=kf_obs_pt)
+
+
+def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Local BA over a covisibility-ranked window around the new keyframe.
+
+    Reference: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:629-1014):
+    free = current KF + covisible KFs, fixed = other observers of local
+    points, then Schur/LM and outlier-observation removal.  Here the window
+    is capacity-bounded: top `ba_free_kfs` covisible keyframes are free, top
+    `ba_fixed_kfs` second-ring observers are fixed, `ba_points` local points.
+    """
+    from ..ops.optim.bundle_adjust import bundle_adjust
+
+    caps = config.caps
+    n_free, n_fixed = caps.ba_free_kfs, caps.ba_fixed_kfs
+    Pl = caps.ba_points
+
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    # the new KF always belongs to the window
+    counts = counts.at[kf_id].add(10_000)
+    free_counts, free_idx = jax.lax.top_k(counts, n_free)
+    free_ok = free_counts > 0
+    free_mask = jnp.zeros(m.max_kf, bool).at[free_idx].set(free_ok)
+
+    pt_mask = ms.points_of_keyframes(m, free_mask)
+    cand = jnp.nonzero(pt_mask, size=Pl, fill_value=m.max_pt)[0]
+    cand_ok = cand < m.max_pt
+    cand_c = jnp.clip(cand, 0, m.max_pt - 1)
+
+    counts2 = ms.covisibility_row(m, jnp.where(cand_ok, cand, -1).astype(jnp.int32))
+    counts2 = jnp.where(free_mask, 0, counts2)
+    fixed_counts, fixed_idx = jax.lax.top_k(counts2, n_fixed)
+    fixed_ok = fixed_counts > 0
+
+    sel_idx = jnp.concatenate([free_idx, fixed_idx])          # [Kl]
+    sel_ok = jnp.concatenate([free_ok, fixed_ok])
+    sel_free = jnp.concatenate([free_ok, jnp.zeros(n_fixed, bool)])
+    # gauge: keyframe 0 never moves (reference sets pKF->mnId==0 fixed,
+    # Optimizer.cc:700)
+    sel_free &= sel_idx != 0
+
+    lut = jnp.full(m.max_pt + 2, -1, jnp.int32)
+    lut = lut.at[cand_c].set(
+        jnp.where(cand_ok, jnp.arange(Pl, dtype=jnp.int32), -1)
+    )
+
+    obs_pt_g = m.kf_obs_pt[sel_idx]                            # [Kl, N] global ids
+    obs_pt_l = lut[jnp.clip(obs_pt_g, 0, m.max_pt + 1)]
+    obs_pt_l = jnp.where(obs_pt_g >= 0, obs_pt_l, -1)
+    obs_uvr = jnp.concatenate(
+        [m.kf_xy[sel_idx], m.kf_uright[sel_idx][..., None]], axis=-1
+    )
+    sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level[sel_idx]]
+    obs_valid = m.kf_feat_valid[sel_idx] & sel_ok[:, None]
+
+    res = bundle_adjust(
+        config.camera,
+        m.kf_Tcw[sel_idx],
+        m.pt_pos[cand_c],
+        obs_pt_l, obs_uvr, sigma2, obs_valid,
+        sel_free, cand_ok,
+        ur_weight=config.ur_weight,
+    )
+
+    # Scatter back poses (free only) and point positions.  Invalid window
+    # slots (top_k fills them with arbitrary zero-count keyframes, which can
+    # DUPLICATE valid slots) must be dropped, or their stale rows overwrite
+    # the optimized ones.
+    scatter_idx = jnp.where(sel_ok, sel_idx, m.max_kf + 1)
+    free_scatter = jnp.where(sel_free, sel_idx, m.max_kf + 1)
+    kf_Tcw = m.kf_Tcw.at[free_scatter].set(res.kf_Tcw, mode="drop")
+    pt_pos = m.pt_pos.at[jnp.where(cand_ok, cand_c, m.max_pt + 1)].set(
+        res.pt_pos, mode="drop"
+    )
+    # erase outlier observations (reference Optimizer.cc:919-960)
+    had_obs = (obs_pt_l >= 0) & obs_valid
+    outlier = had_obs & ~res.obs_inlier
+    new_obs = jnp.where(outlier, -1, m.kf_obs_pt[sel_idx])
+    kf_obs_pt = m.kf_obs_pt.at[scatter_idx].set(new_obs, mode="drop")
+    return m._replace(kf_Tcw=kf_Tcw, pt_pos=pt_pos, kf_obs_pt=kf_obs_pt)
+
+
+class LocalMapper:
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        self._jit_process = jax.jit(
+            functools.partial(_process, config), donate_argnums=0
+        )
+
+    def process(self, m: MapState, kf_id) -> MapState:
+        return self._jit_process(m, kf_id)
+
+
+def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    m = cull_points(config, m, kf_id)
+    m = fuse_into_keyframe(config, m, kf_id)
+    m = refresh_observed_points(config, m, kf_id)
+    m = local_bundle_adjustment(config, m, kf_id)
+    return m

@@ -1,0 +1,235 @@
+"""The global map as fixed-capacity struct-of-arrays (a pytree).
+
+TPU-native redesign of the reference's pointer-graph map (Map / KeyFrame /
+MapPoint, src/Map.cc, src/KeyFrame.cc, src/MapPoint.cc):
+
+  * KeyFrame*/MapPoint* webs -> integer ids into SoA blocks with validity
+    masks.  Deletion (`SetBadFlag`) = clearing a mask bit; `MapPoint::Replace`
+    = an index-forwarding array.
+  * The covisibility graph is not stored: it is recomputed on demand from the
+    observation table `kf_obs_pt` ([K, N] point id per keyframe feature) —
+    one gather per row, O(K*N), instead of incremental weight maintenance
+    (reference KeyFrame::UpdateConnections src/KeyFrame.cc:386-509).
+  * No mutexes: phases exchange whole immutable MapState pytrees; the jit
+    donation machinery makes the updates in-place on device.
+
+Observations are stored only on the keyframe side (kf_obs_pt); the point ->
+(kf, feat) direction, when needed (normal updates, descriptor refresh, BA), is
+derived by masked scans over the keyframe axis — bounded, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+from .config import SlamConfig
+from .frame import FrameData
+
+NO_POINT = jnp.int32(-1)
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_Tcw: jnp.ndarray        # [K, 4, 4]
+    kf_valid: jnp.ndarray      # [K] bool
+    kf_frame_id: jnp.ndarray   # [K] int32 source frame index
+    kf_timestamp: jnp.ndarray  # [K] float64-as-float32 pair not needed; float32 ok
+    kf_xy: jnp.ndarray         # [K, N, 2] undistorted coords
+    kf_uright: jnp.ndarray     # [K, N]
+    kf_depth: jnp.ndarray      # [K, N]
+    kf_level: jnp.ndarray      # [K, N] int32
+    kf_angle: jnp.ndarray      # [K, N]
+    kf_desc: jnp.ndarray       # [K, N, 8] uint32
+    kf_feat_valid: jnp.ndarray # [K, N] bool
+    kf_obs_pt: jnp.ndarray     # [K, N] int32 point id (-1 = none)
+    # --- map points ---
+    pt_pos: jnp.ndarray        # [P, 3]
+    pt_normal: jnp.ndarray     # [P, 3]
+    pt_desc: jnp.ndarray       # [P, 8] uint32
+    pt_min_dist: jnp.ndarray   # [P]
+    pt_max_dist: jnp.ndarray   # [P]
+    pt_valid: jnp.ndarray      # [P] bool
+    pt_ref_kf: jnp.ndarray     # [P] int32
+    pt_first_kf: jnp.ndarray   # [P] int32 (MapPoint culling rules)
+    pt_visible: jnp.ndarray    # [P] int32
+    pt_found: jnp.ndarray      # [P] int32
+    # --- counters ---
+    n_kf: jnp.ndarray          # scalar int32
+    n_pt: jnp.ndarray          # scalar int32
+
+    @property
+    def max_kf(self) -> int:
+        return self.kf_Tcw.shape[0]
+
+    @property
+    def max_pt(self) -> int:
+        return self.pt_pos.shape[0]
+
+    @property
+    def feat_cap(self) -> int:
+        return self.kf_xy.shape[1]
+
+
+def empty_map(config: SlamConfig) -> MapState:
+    K = config.caps.max_keyframes
+    P = config.caps.max_points
+    N = sum(config.orb.level_budgets())
+    f32 = jnp.float32
+    return MapState(
+        kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.zeros(K, jnp.int32),
+        kf_timestamp=jnp.zeros(K, f32),
+        kf_xy=jnp.zeros((K, N, 2), f32),
+        kf_uright=jnp.full((K, N), -1.0, f32),
+        kf_depth=jnp.full((K, N), -1.0, f32),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_obs_pt=jnp.full((K, N), NO_POINT, jnp.int32),
+        pt_pos=jnp.zeros((P, 3), f32),
+        pt_normal=jnp.zeros((P, 3), f32),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_min_dist=jnp.zeros(P, f32),
+        pt_max_dist=jnp.zeros(P, f32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_ref_kf=jnp.zeros(P, jnp.int32),
+        pt_first_kf=jnp.zeros(P, jnp.int32),
+        pt_visible=jnp.zeros(P, jnp.int32),
+        pt_found=jnp.zeros(P, jnp.int32),
+        n_kf=jnp.int32(0),
+        n_pt=jnp.int32(0),
+    )
+
+
+def insert_keyframe(
+    m: MapState,
+    frame: FrameData,
+    Tcw: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+) -> tuple[MapState, jnp.ndarray]:
+    """Append a keyframe (reference Tracking::CreateNewKeyFrame
+    src/Tracking.cc:1649 + Map::AddKeyFrame).  obs_pt: [N] matched point ids
+    from tracking (-1 where none).  Returns (map, kf_id); if capacity is full
+    the write is dropped (kf_id = max_kf, an invalid row)."""
+    slot = jnp.minimum(m.n_kf, m.max_kf - 1)
+    ok = m.n_kf < m.max_kf
+    w = lambda arr, val: arr.at[slot].set(jnp.where(ok, val, arr[slot]))
+    m2 = m._replace(
+        kf_Tcw=w(m.kf_Tcw, Tcw),
+        kf_valid=m.kf_valid.at[slot].set(ok),
+        kf_frame_id=w(m.kf_frame_id, frame_id.astype(jnp.int32)),
+        kf_timestamp=w(m.kf_timestamp, timestamp.astype(jnp.float32)),
+        kf_xy=w(m.kf_xy, frame.xy),
+        kf_uright=w(m.kf_uright, frame.u_right),
+        kf_depth=w(m.kf_depth, frame.depth),
+        kf_level=w(m.kf_level, frame.level),
+        kf_angle=w(m.kf_angle, frame.angle),
+        kf_desc=w(m.kf_desc, frame.desc),
+        kf_feat_valid=w(m.kf_feat_valid, frame.valid),
+        kf_obs_pt=w(m.kf_obs_pt, jnp.where(frame.valid, obs_pt, NO_POINT)),
+        n_kf=m.n_kf + ok.astype(jnp.int32),
+    )
+    return m2, slot
+
+
+def add_points(
+    m: MapState,
+    config: SlamConfig,
+    kf_id: jnp.ndarray,
+    feat_idx: jnp.ndarray,
+    positions: jnp.ndarray,
+    create_mask: jnp.ndarray,
+) -> tuple[MapState, jnp.ndarray]:
+    """Create new map points observed by keyframe `kf_id`.
+
+    feat_idx: [M] feature indices in that keyframe; positions: [M, 3] world;
+    create_mask: [M] which rows actually become points.  Returns (map,
+    point ids [M], -1 where not created).  Mirrors MapPoint creation during
+    keyframe insertion (reference Tracking.cc:1700-1750, LocalMapping
+    CreateNewMapPoints write-out) including normal/scale-band initialization
+    (MapPoint::UpdateNormalAndDepth src/MapPoint.cc:477-533).
+    """
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    n_levels = config.orb.n_levels
+
+    create_mask = create_mask & (m.n_pt + jnp.cumsum(create_mask) <= m.max_pt)
+    ids = m.n_pt + jnp.cumsum(create_mask.astype(jnp.int32)) - 1
+    ids = jnp.where(create_mask, ids, m.max_pt + 1)  # OOB -> dropped scatter
+
+    cam_center = se3.inverse(m.kf_Tcw[kf_id])[:3, 3]
+    rays = positions - cam_center
+    dist = jnp.linalg.norm(rays, axis=-1)
+    normal = rays / jnp.maximum(dist[:, None], 1e-9)
+    level = m.kf_level[kf_id, feat_idx]
+    level_scale = scale_factors[level]
+    max_dist = dist * level_scale
+    min_dist = max_dist / scale_factors[n_levels - 1]
+    desc = m.kf_desc[kf_id, feat_idx]
+
+    mode = dict(mode="drop")
+    m2 = m._replace(
+        pt_pos=m.pt_pos.at[ids].set(positions, **mode),
+        pt_normal=m.pt_normal.at[ids].set(normal, **mode),
+        pt_desc=m.pt_desc.at[ids].set(desc, **mode),
+        pt_min_dist=m.pt_min_dist.at[ids].set(min_dist, **mode),
+        pt_max_dist=m.pt_max_dist.at[ids].set(max_dist, **mode),
+        pt_valid=m.pt_valid.at[ids].set(True, **mode),
+        pt_ref_kf=m.pt_ref_kf.at[ids].set(kf_id, **mode),
+        pt_first_kf=m.pt_first_kf.at[ids].set(kf_id, **mode),
+        pt_visible=m.pt_visible.at[ids].set(1, **mode),
+        pt_found=m.pt_found.at[ids].set(1, **mode),
+        n_pt=m.n_pt + jnp.sum(create_mask).astype(jnp.int32),
+        kf_obs_pt=m.kf_obs_pt.at[kf_id, feat_idx].set(
+            jnp.where(create_mask, ids, m.kf_obs_pt[kf_id, feat_idx]).astype(jnp.int32),
+            mode="drop",
+        ),
+    )
+    return m2, jnp.where(create_mask, ids, NO_POINT).astype(jnp.int32)
+
+
+def covisibility_row(m: MapState, pt_ids: jnp.ndarray) -> jnp.ndarray:
+    """[K] count of shared observations between a point-id set and every KF.
+
+    The on-demand replacement for the reference's stored covisibility weights
+    (KeyFrame::GetBestCovisibilityKeyFrames).  pt_ids: [N] (-1 entries ignored).
+    """
+    indicator = jnp.zeros(m.max_pt + 2, bool)
+    indicator = indicator.at[jnp.where(pt_ids >= 0, pt_ids, m.max_pt + 1)].set(
+        True, mode="drop"
+    )
+    hits = indicator[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)] & (m.kf_obs_pt >= 0)
+    return jnp.sum(hits & m.kf_feat_valid, axis=1).astype(jnp.int32) * m.kf_valid
+
+
+def points_of_keyframes(m: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool: points observed by any keyframe in kf_mask."""
+    obs = jnp.where(kf_mask[:, None] & (m.kf_obs_pt >= 0), m.kf_obs_pt, m.max_pt + 1)
+    indicator = jnp.zeros(m.max_pt + 2, bool).at[obs.reshape(-1)].set(True, mode="drop")
+    return indicator[: m.max_pt] & m.pt_valid
+
+
+def observation_count(m: MapState) -> jnp.ndarray:
+    """[P] number of keyframes observing each point."""
+    obs = jnp.where(
+        m.kf_feat_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None],
+        m.kf_obs_pt, m.max_pt + 1,
+    )
+    counts = jnp.zeros(m.max_pt + 2, jnp.int32).at[obs.reshape(-1)].add(1, mode="drop")
+    return counts[: m.max_pt]
+
+
+def keyframe_positions(m: MapState) -> jnp.ndarray:
+    """[K, 3] camera centers."""
+    R = m.kf_Tcw[:, :3, :3]
+    t = m.kf_Tcw[:, :3, 3]
+    # c = -R^T t; einsum contracts over the row index of R.
+    return -jnp.einsum("kij,ki->kj", R, t)

@@ -15,59 +15,52 @@ import jax.numpy as jnp
 
 
 class CameraParams(NamedTuple):
-    """Static camera intrinsics (a pytree of scalars; safe to close over jit).
+    """Static camera intrinsics as plain Python floats.
 
     Mirrors the settings-YAML block the reference parses in
     src/Tracking.cc:93-218: fx fy cx cy, radial/tangential distortion
     k1 k2 p1 p2 k3, stereo baseline*fx (`bf`), and image size.
+
+    Kept as Python scalars (not device arrays) on purpose: jit closes over
+    them as compile-time constants, so chi2 thresholds, depth cutoffs etc.
+    derived from them stay static (JAX >= 0.9 turns closure-captured arrays
+    into tracers, which would poison host-side float() uses).
     """
 
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    k1: jnp.ndarray
-    k2: jnp.ndarray
-    p1: jnp.ndarray
-    p2: jnp.ndarray
-    k3: jnp.ndarray
-    bf: jnp.ndarray  # baseline * fx  (0 for monocular)
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float
+    k2: float
+    p1: float
+    p2: float
+    k3: float
+    bf: float  # baseline * fx  (0 for monocular)
     width: int
     height: int
 
     @staticmethod
     def create(fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0, bf=0.0,
                width=640, height=480) -> "CameraParams":
-        f = lambda v: jnp.asarray(v, jnp.float32)
-        return CameraParams(f(fx), f(fy), f(cx), f(cy), f(k1), f(k2), f(p1),
-                            f(p2), f(k3), f(bf), int(width), int(height))
+        return CameraParams(float(fx), float(fy), float(cx), float(cy),
+                            float(k1), float(k2), float(p1), float(p2),
+                            float(k3), float(bf), int(width), int(height))
 
     @property
-    def baseline(self):
+    def baseline(self) -> float:
         return self.bf / self.fx
 
     @property
     def K(self) -> jnp.ndarray:
-        one = jnp.ones_like(self.fx)
-        zero = jnp.zeros_like(self.fx)
-        return jnp.stack(
-            [
-                jnp.stack([self.fx, zero, self.cx]),
-                jnp.stack([zero, self.fy, self.cy]),
-                jnp.stack([zero, zero, one]),
-            ]
+        return jnp.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=jnp.float32,
         )
 
     @property
     def has_distortion(self) -> bool:
-        # Static check usable at trace time when params are Python floats.
-        try:
-            return bool(
-                abs(float(self.k1)) + abs(float(self.k2)) + abs(float(self.p1))
-                + abs(float(self.p2)) + abs(float(self.k3)) > 0
-            )
-        except (TypeError, jax.errors.TracerArrayConversionError):
-            return True
+        return abs(self.k1) + abs(self.k2) + abs(self.p1) + abs(self.p2) + abs(self.k3) > 0
 
 
 def project(cam: CameraParams, pts_cam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -103,15 +103,28 @@ def pose_optimize(
     n_rounds: int = 4,
     n_iters: int = 10,
     damping: float = 1e-5,
+    ur_weight: float = 1.0,
 ) -> PoseOptResult:
     """Optimize Tcw against map points.  All shapes static; invalid rows are
-    zero-weighted."""
+    zero-weighted.
+
+    ur_weight: extra information weight on the u_right (disparity) residual.
+    The reference weights all three residual components equally, which models
+    stereo-matcher noise; RGB-D depth sensors are far more precise than one
+    pixel of disparity, so RGB-D mode uses ur_weight > 1 (sigma_ur =
+    1/sqrt(w) px).  This is what anchors translation-along-view drift in
+    low-parallax scenes.
+    """
     is_stereo = obs[:, 2] >= 0.0
     inv_sigma2 = 1.0 / jnp.maximum(sigma2, 1e-9)
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
+    sw = jnp.array([1.0, 1.0, ur_weight**0.5], jnp.float32)
+
     def gn_iteration(T, active, use_huber):
         res, J = _residuals_jacobians(cam, T, pts_w, obs, is_stereo)
+        res = res * sw
+        J = J * sw[:, None]
         chi2 = _chi2(res, inv_sigma2, is_stereo)
         w_rob = jnp.where(
             use_huber, huber_weight(chi2, chi2_th), jnp.ones_like(chi2)

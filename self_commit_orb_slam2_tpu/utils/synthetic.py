@@ -143,19 +143,48 @@ def make_room(rng: np.random.Generator, size: float = 6.0,
         # ceiling y = -s/2
         Plane(np.array([-s / 2, -s / 2, 0.0]), np.array([s, 0, 0.0]), np.array([0, 0, s]), tex()),
     ]
+    # front wall at z = 0 closes the box (visible when orbiting behind the
+    # cluster)
+    planes.append(
+        Plane(np.array([-s / 2, -s / 2, 0.0]), np.array([s, 0, 0.0]),
+              np.array([0, s, 0.0]), tex())
+    )
+
+    # A 3D cluster of tilted textured panels around (0, 0, s/2): the "desk".
+    # Rich structure with real depth diversity at the scene center — the
+    # look-at trajectories orbit this cluster the way TUM fr1_desk orbits a
+    # desk.  A narrow depth band would make lateral translation vs yaw
+    # unobservable for any SLAM system.
+    cz = s / 2
+    panel_specs = [
+        (np.array([-0.9, -0.5, cz + 0.3]), 0.9, 0.35),
+        (np.array([0.2, -0.4, cz - 0.5]), 0.8, -0.3),
+        (np.array([-0.3, 0.0, cz + 0.7]), 1.1, 0.15),
+        (np.array([0.6, -0.1, cz + 0.1]), 0.7, 0.5),
+        (np.array([-0.8, 0.3, cz - 0.3]), 0.8, -0.45),
+        (np.array([0.1, 0.35, cz + 0.4]), 0.9, 0.25),
+        (np.array([-0.2, -0.9, cz]), 1.0, -0.15),
+    ]
+    for origin, extent, tilt in panel_specs:
+        u = np.array([np.cos(tilt), 0.0, np.sin(tilt)]) * extent
+        v = np.array([0.0, np.cos(tilt * 0.5), np.sin(tilt * 0.5)]) * extent
+        planes.append(Plane(origin, u, v, tex()))
     return Scene(planes)
 
 
-def orbit_trajectory(n_frames: int, radius: float = 0.8,
-                     forward: float = 1.5, yaw_amp: float = 0.25) -> np.ndarray:
+def orbit_trajectory(n_frames: int, radius: float = 0.55,
+                     forward: float = 1.4, yaw_amp: float = 0.12,
+                     frames_per_orbit: int = 120) -> np.ndarray:
     """Smooth exploratory camera path (world->cam poses Tcw [n, 4, 4]).
 
     Sideways arc + slight forward drift + yaw oscillation: enough parallax for
     triangulation and enough rotation to exercise orientation handling.
+    frames_per_orbit sets the speed (~0.04 m/frame at the default radius,
+    comparable to TUM handheld sequences at 30 fps).
     """
     poses = []
     for i in range(n_frames):
-        a = 2 * np.pi * i / max(n_frames - 1, 1)
+        a = 2 * np.pi * i / frames_per_orbit
         # camera center in world
         c = np.array([radius * np.sin(a), 0.15 * np.sin(2 * a), forward + 0.3 * np.sin(a)])
         yaw = yaw_amp * np.sin(a)
@@ -166,6 +195,43 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8,
         T = np.eye(4)
         T[:3, :3] = Rcw
         T[:3, 3] = tcw
+        poses.append(T)
+    return np.stack(poses).astype(np.float32)
+
+
+def lookat_trajectory(
+    n_frames: int,
+    target: np.ndarray | None = None,
+    radius: float = 2.0,
+    sweep: float = 0.7,
+    frames_per_cycle: int = 160,
+    height_amp: float = 0.25,
+) -> np.ndarray:
+    """Arc orbit around a target, camera always facing it (fr1_desk-style).
+
+    The camera swings on a +-`sweep`-radian arc of radius `radius` around
+    `target` with a gentle vertical bob, giving continuous parallax on the
+    cluster while keeping it framed.  Returns Tcw [n, 4, 4].
+    """
+    if target is None:
+        target = np.array([0.0, 0.0, 3.0])
+    poses = []
+    for i in range(n_frames):
+        ph = 2 * np.pi * i / frames_per_cycle
+        th = sweep * np.sin(ph)
+        c = target + np.array(
+            [radius * np.sin(th), height_amp * np.sin(2 * ph), -radius * np.cos(th)]
+        )
+        z_axis = target - c
+        z_axis = z_axis / np.linalg.norm(z_axis)
+        x_axis = np.cross(np.array([0.0, 1.0, 0.0]), z_axis)
+        x_axis = x_axis / np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        Rwc = np.stack([x_axis, y_axis, z_axis], axis=1)
+        Rcw = Rwc.T
+        T = np.eye(4)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
         poses.append(T)
     return np.stack(poses).astype(np.float32)
 
@@ -194,7 +260,7 @@ def generate_sequence(
     rng = np.random.default_rng(seed)
     scene = make_room(rng)
     K = np.array([[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1.0]])
-    poses = trajectory if trajectory is not None else orbit_trajectory(n_frames)
+    poses = trajectory if trajectory is not None else lookat_trajectory(n_frames)
     n_frames = len(poses)
     imgs, deps, rights = [], [], []
     for i in range(n_frames):
