@@ -48,13 +48,15 @@ def main():
     )
     slam = System(cfg)
 
-    warmup = 6  # compile-dominated frames (first KF insert triggers mapper)
-    for i in range(n_frames):
-        slam.track_rgbd(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
+    # warmup batch (compiles init + batch step + mapper branches)
+    w = 8
+    slam.track_batch_rgbd(seq.images[:w], seq.depths[:w], seq.timestamps[:w])
+    t0 = time.perf_counter()
+    slam.track_batch_rgbd(seq.images[w:], seq.depths[w:], seq.timestamps[w:])
+    dt = time.perf_counter() - t0
+    fps = (n_frames - w) / dt
 
-    steady = np.array(slam.timings[warmup:])
-    fps = 1.0 / float(np.median(steady))
-    est = np.stack([p for _, p in slam.trajectory])
+    _, est = slam.get_trajectory()
     ate = ate_rmse(est, seq.poses_gt)
 
     print(json.dumps({
@@ -67,9 +69,10 @@ def main():
             "n_frames": n_frames,
             "keyframes": slam.n_keyframes(),
             "map_points": slam.n_points(),
-            "median_ms": round(float(np.median(steady)) * 1e3, 2),
+            "median_ms": round(dt / (n_frames - w) * 1e3, 2),
             "backend": str(jax.devices()[0]),
             "tracking_lost": slam.state != 1,
+            "mode": "batched",
         },
     }))
 

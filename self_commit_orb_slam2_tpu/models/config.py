@@ -72,6 +72,10 @@ class SlamConfig(NamedTuple):
     tracking: TrackingConfig = TrackingConfig()
     sensor: str = "rgbd"  # "mono" | "stereo" | "rgbd"
     depth_map_factor: float = 1.0
+    # Trained BoW vocabulary (ops/bow.py) for relocalization + loop closing;
+    # None disables place recognition (reference requires ORBvoc.txt at
+    # startup, System.cc:77-89 — here it is optional).
+    vocab: object = None
 
     @property
     def ur_weight(self) -> float:

@@ -47,6 +47,9 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray       # [K, N, 8] uint32
     kf_feat_valid: jnp.ndarray # [K, N] bool
     kf_obs_pt: jnp.ndarray     # [K, N] int32 point id (-1 = none)
+    kf_bow: jnp.ndarray        # [K, W] dense TF-IDF vectors (W=1 if no vocab)
+    kf_word: jnp.ndarray       # [K, N] int32 BoW word ids (-1 = none)
+    kf_node: jnp.ndarray       # [K, N] int32 mid-level node ids (SearchByBoW)
     # --- map points ---
     pt_pos: jnp.ndarray        # [P, 3]
     pt_normal: jnp.ndarray     # [P, 3]
@@ -79,6 +82,7 @@ def empty_map(config: SlamConfig) -> MapState:
     K = config.caps.max_keyframes
     P = config.caps.max_points
     N = sum(config.orb.level_budgets())
+    W = config.vocab.n_words if config.vocab is not None else 1
     f32 = jnp.float32
     return MapState(
         kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
@@ -93,6 +97,9 @@ def empty_map(config: SlamConfig) -> MapState:
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs_pt=jnp.full((K, N), NO_POINT, jnp.int32),
+        kf_bow=jnp.zeros((K, W), f32),
+        kf_word=jnp.full((K, N), -1, jnp.int32),
+        kf_node=jnp.full((K, N), -1, jnp.int32),
         pt_pos=jnp.zeros((P, 3), f32),
         pt_normal=jnp.zeros((P, 3), f32),
         pt_desc=jnp.zeros((P, 8), jnp.uint32),
@@ -115,6 +122,9 @@ def insert_keyframe(
     frame_id: jnp.ndarray,
     timestamp: jnp.ndarray,
     obs_pt: jnp.ndarray,
+    bow: jnp.ndarray | None = None,
+    words: jnp.ndarray | None = None,
+    nodes: jnp.ndarray | None = None,
 ) -> tuple[MapState, jnp.ndarray]:
     """Append a keyframe (reference Tracking::CreateNewKeyFrame
     src/Tracking.cc:1649 + Map::AddKeyFrame).  obs_pt: [N] matched point ids
@@ -136,6 +146,9 @@ def insert_keyframe(
         kf_desc=w(m.kf_desc, frame.desc),
         kf_feat_valid=w(m.kf_feat_valid, frame.valid),
         kf_obs_pt=w(m.kf_obs_pt, jnp.where(frame.valid, obs_pt, NO_POINT)),
+        kf_bow=w(m.kf_bow, bow) if bow is not None else m.kf_bow,
+        kf_word=w(m.kf_word, words) if words is not None else m.kf_word,
+        kf_node=w(m.kf_node, nodes) if nodes is not None else m.kf_node,
         n_kf=m.n_kf + ok.astype(jnp.int32),
     )
     return m2, slot

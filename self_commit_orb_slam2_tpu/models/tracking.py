@@ -223,6 +223,18 @@ def track_local_map(
     )
 
 
+def _frame_bow(config: SlamConfig, frame: FrameData):
+    """(bow, words, nodes) for keyframe insertion; None triple without vocab.
+    Reference: KeyFrame::ComputeBoW (src/KeyFrame.cc:79-95)."""
+    if config.vocab is None:
+        return None, None, None
+    from ..ops import bow as bow_ops  # local import avoids cycle at module load
+
+    words, nodes = bow_ops.transform(config.vocab, frame.desc, frame.valid)
+    vec = bow_ops.bow_vector(config.vocab, words)
+    return vec, words, nodes
+
+
 def initialize_depth(
     config: SlamConfig, m: MapState, frame: FrameData,
     frame_id: jnp.ndarray, timestamp: jnp.ndarray,
@@ -230,9 +242,11 @@ def initialize_depth(
     """First stereo/RGB-D keyframe: map points for every feature with depth
     (reference Tracking::StereoInitialization src/Tracking.cc:788-884)."""
     Tcw = jnp.eye(4, dtype=jnp.float32)
+    bow, words, nodes = _frame_bow(config, frame)
     m, kf_id = ms.insert_keyframe(
         m, frame, Tcw, frame_id, timestamp,
         jnp.full(frame.capacity, NO_POINT, jnp.int32),
+        bow=bow, words=words, nodes=nodes,
     )
     pts_w = backproject_frame(config.camera, frame, Tcw)
     create = frame.has_depth()
@@ -253,7 +267,9 @@ def create_keyframe(
     """Insert a keyframe + new close points for unmatched depth features
     (reference Tracking::CreateNewKeyFrame src/Tracking.cc:1649-1758: sort by
     depth, create until 100 or depth > mThDepth)."""
-    m, kf_id = ms.insert_keyframe(m, frame, Tcw, frame_id, timestamp, obs_pt)
+    bow, words, nodes = _frame_bow(config, frame)
+    m, kf_id = ms.insert_keyframe(m, frame, Tcw, frame_id, timestamp, obs_pt,
+                                  bow=bow, words=words, nodes=nodes)
     candidate = (
         frame.has_depth() & (obs_pt < 0) & (frame.depth < config.th_depth)
     )

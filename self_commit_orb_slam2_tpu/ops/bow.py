@@ -1,0 +1,199 @@
+"""Bag-of-binary-words place recognition, TPU-first.
+
+Replaces the reference's vendored DBoW2 (Thirdparty/DBoW2, SURVEY §2.2):
+
+  * Vocabulary: hierarchical k-medoids tree over 256-bit ORB descriptors
+    (k branches, L levels — the shipped ORBvoc.txt is k=10 L=6).  Training
+    is offline host-side (binary k-majority k-means); the tree is stored as
+    flat arrays (node descriptors + children) so lookup is batched gathers.
+  * transform(): all N descriptors descend the tree in parallel (L gather +
+    Hamming-argmin steps) -> word ids + mid-level node ids (the reference's
+    FeatureVector at levelsup=4, used to constrain SearchByBoW).
+  * Scoring: instead of DBoW2's inverted file + per-entry accumulation
+    (TemplatedVocabulary/ScoringObject L1 metric), frames become dense
+    L1-normalized TF-IDF vectors and database scoring is ONE matrix-vector
+    product over all keyframes — the MXU-native formulation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Flat hierarchical vocabulary.
+
+    node_desc:     [n_nodes, 8] uint32 cluster-center descriptors
+    node_children: [n_internal, k] int32 (index into node arrays; -1 = none)
+    is_leaf:       [n_nodes] bool
+    word_id:       [n_nodes] int32 (-1 for internal nodes)
+    word_weight:   [n_words] float32 IDF weights
+    depth_of:      level of each node
+    k, L:          branching factor / leaf depth
+    """
+
+    node_desc: jnp.ndarray
+    node_children: jnp.ndarray
+    word_id: jnp.ndarray
+    word_weight: jnp.ndarray
+    k: int
+    L: int
+    n_words: int
+    levelsup: int = 2  # node level used for matching constraints (from leaf)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _kmajority(descs: np.ndarray, k: int, rng, iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Binary k-means (k-majority vote) on [M, 8] uint32 descriptors."""
+    M = len(descs)
+    k = min(k, M)
+    centers = descs[rng.choice(M, k, replace=False)]
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # [M, 256]
+    for _ in range(iters):
+        d = _popcount64(np.bitwise_xor(descs[:, None, :], centers[None, :, :]))
+        assign = np.argmin(d, axis=1)
+        new_centers = []
+        for c in range(k):
+            sel = bits[assign == c]
+            if len(sel) == 0:
+                new_centers.append(centers[c])
+                continue
+            maj = (sel.mean(0) >= 0.5).astype(np.uint8)
+            new_centers.append(np.packbits(maj).view(np.uint32))
+        centers = np.stack(new_centers)
+    d = _popcount64(np.bitwise_xor(descs[:, None, :], centers[None, :, :]))
+    assign = np.argmin(d, axis=1)
+    return centers, assign
+
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
+                     seed: int = 0, weight_descs: np.ndarray | None = None) -> Vocabulary:
+    """Train the tree host-side (offline, like DBoW2's create()).
+
+    descriptors: [M, 8] uint32 training set.  IDF weights come from
+    `weight_descs` (defaults to the training set) as in
+    TemplatedVocabulary::setNodeWeights.
+    """
+    rng = np.random.default_rng(seed)
+    node_desc = [np.zeros(8, np.uint32)]  # root (never compared against)
+    children: list[list[int]] = [[]]
+    levels = [0]
+
+    def build(node_id: int, descs: np.ndarray, level: int):
+        if level == L or len(descs) < 2 * k:
+            return
+        centers, assign = _kmajority(descs, k, rng)
+        for c in range(len(centers)):
+            child_id = len(node_desc)
+            node_desc.append(centers[c])
+            children.append([])
+            levels.append(level + 1)
+            children[node_id].append(child_id)
+            sub = descs[assign == c]
+            if len(sub):
+                build(child_id, sub, level + 1)
+
+    build(0, descriptors.astype(np.uint32), 0)
+
+    n_nodes = len(node_desc)
+    is_leaf = np.array([len(children[i]) == 0 and i != 0 for i in range(n_nodes)])
+    word_id = np.full(n_nodes, -1, np.int32)
+    word_id[is_leaf] = np.arange(is_leaf.sum(), dtype=np.int32)
+    n_words = int(is_leaf.sum())
+
+    child_arr = np.full((n_nodes, k), -1, np.int32)
+    for i, ch in enumerate(children):
+        child_arr[i, : len(ch)] = ch
+
+    vocab = Vocabulary(
+        node_desc=jnp.asarray(np.stack(node_desc)),
+        node_children=jnp.asarray(child_arr),
+        word_id=jnp.asarray(word_id),
+        word_weight=jnp.ones(max(n_words, 1), jnp.float32),
+        k=k, L=L, n_words=n_words,
+    )
+    # IDF weights (TemplatedVocabulary.h: weight = log(N / Ni))
+    wd = weight_descs if weight_descs is not None else descriptors
+    words, _ = np.asarray(transform(vocab, jnp.asarray(wd.astype(np.uint32)),
+                                    jnp.ones(len(wd), bool)))
+    counts = np.bincount(words[words >= 0], minlength=n_words).astype(np.float64)
+    n_docs = max(len(wd), 1)
+    idf = np.log(n_docs / np.maximum(counts, 1.0)).astype(np.float32)
+    return vocab._replace(word_weight=jnp.asarray(np.maximum(idf, 1e-3)))
+
+
+def transform(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
+    """Batched tree descent: [N, 8] descriptors -> (word ids [N], node ids [N]).
+
+    node ids are at `levelsup` levels above the leaves (reference
+    FeatureVector with levelsup=4 from the root of a 6-level tree; here
+    measured from the leaf for robustness to variable-depth branches).
+    Returns -1 for invalid descriptors.
+    """
+    n = desc.shape[0]
+    cur = jnp.zeros(n, jnp.int32)  # root
+    mid = jnp.zeros(n, jnp.int32)
+    for level in range(vocab.L):
+        ch = vocab.node_children[cur]  # [N, k]
+        has_child = ch >= 0
+        ch_safe = jnp.clip(ch, 0, vocab.node_desc.shape[0] - 1)
+        cdesc = vocab.node_desc[ch_safe]  # [N, k, 8]
+        x = jnp.bitwise_xor(desc[:, None, :], cdesc)
+        dist = jnp.sum(jax.lax.population_count(x), axis=-1)
+        dist = jnp.where(has_child, dist, 100_000)
+        best = jnp.argmin(dist, axis=1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        # stop at nodes with no children (variable-depth branches)
+        stopped = ~jnp.any(has_child, axis=1)
+        cur = jnp.where(stopped, cur, nxt)
+        if level == max(vocab.L - 1 - vocab.levelsup, 0):
+            mid = cur
+    words = vocab.word_id[cur]
+    words = jnp.where(valid, words, -1)
+    mid = jnp.where(valid, mid, -1)
+    return words, mid
+
+
+def bow_vector(vocab: Vocabulary, words: jnp.ndarray) -> jnp.ndarray:
+    """Dense L1-normalized TF-IDF vector [n_words] from word ids [N]."""
+    w = jnp.zeros(vocab.n_words + 1, jnp.float32)
+    idx = jnp.where(words >= 0, words, vocab.n_words)
+    w = w.at[idx].add(1.0, mode="drop")
+    v = w[: vocab.n_words] * vocab.word_weight
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+def save_vocabulary(path: str, vocab: Vocabulary) -> None:
+    np.savez_compressed(
+        path,
+        node_desc=np.asarray(vocab.node_desc),
+        node_children=np.asarray(vocab.node_children),
+        word_id=np.asarray(vocab.word_id),
+        word_weight=np.asarray(vocab.word_weight),
+        meta=np.array([vocab.k, vocab.L, vocab.n_words, vocab.levelsup]),
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    k, L, n_words, levelsup = (int(x) for x in z["meta"])
+    return Vocabulary(
+        node_desc=jnp.asarray(z["node_desc"]),
+        node_children=jnp.asarray(z["node_children"]),
+        word_id=jnp.asarray(z["word_id"]),
+        word_weight=jnp.asarray(z["word_weight"]),
+        k=k, L=L, n_words=n_words, levelsup=levelsup,
+    )
+
+
+def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity of query v [W] vs database rows [K, W]:
+    s = 1 - 0.5 * sum|v - w| in [0, 1] (ScoringObject.cpp L1Scoring)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(db - v[None, :]), axis=-1)

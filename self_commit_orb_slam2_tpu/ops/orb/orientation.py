@@ -34,7 +34,12 @@ _DY = (np.arange(-HALF_PATCH, HALF_PATCH + 1)[:, None] * _MASK).astype(np.float3
 
 
 def angle_map(image: jnp.ndarray) -> jnp.ndarray:
-    """Dense orientation map [H, W] in radians for every pixel."""
+    """Dense orientation map [H, W] in radians for every pixel.
+
+    Note: single-channel 31x31 convs map poorly onto the TPU conv units
+    (measured ~240ms at 320x240); kept only for reference/debugging — the
+    extraction path uses the per-keypoint form below.
+    """
     img4 = image[None, None]
     kx = jnp.asarray(_DX)[None, None]
     ky = jnp.asarray(_DY)[None, None]
@@ -44,8 +49,19 @@ def angle_map(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def keypoint_angles(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Angles (radians) for keypoints at integer positions xy [N, 2]."""
-    amap = angle_map(image)
-    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, image.shape[1] - 1)
-    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, image.shape[0] - 1)
-    return amap[yi, xi]
+    """Angles (radians) for keypoints at integer positions xy [N, 2].
+
+    Per-keypoint 31x31 patch moments: N patch slices + two [N, 961] x [961]
+    dot products — MXU-shaped, instead of a dense single-channel conv.
+    """
+    h, w = image.shape
+    size = 2 * HALF_PATCH + 1
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32) - HALF_PATCH, 0, w - size)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32) - HALF_PATCH, 0, h - size)
+    patches = jax.vmap(
+        lambda x0, y0: jax.lax.dynamic_slice(image, (y0, x0), (size, size))
+    )(xi, yi)  # [N, 31, 31]
+    flat = patches.reshape(patches.shape[0], size * size)
+    m10 = flat @ jnp.asarray(_DX.reshape(-1))
+    m01 = flat @ jnp.asarray(_DY.reshape(-1))
+    return jnp.arctan2(m01, m10)

@@ -41,40 +41,43 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula: [..., 3] axis-angle -> [..., 3, 3] rotation.
 
-    Uses Taylor expansions near theta=0 for numerical stability in float32.
+    Taylor expansions near theta=0 keep both values AND gradients finite
+    (the non-taken sqrt/div branches are computed on `where`-sanitized
+    inputs so reverse/forward AD never sees 0/0 or d(sqrt)/dx at 0 —
+    required by the AD-based pose-graph Jacobians).
     """
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_t2)
     K = hat(phi)
     KK = K @ K
-    small = theta < 1e-4
-    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks.
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * KK
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] rotation -> [..., 3] axis-angle."""
+    """[..., 3, 3] rotation -> [..., 3] axis-angle (AD-safe at 0 and pi)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    # theta/sin(theta) with series fallback.
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_t))
+    sin2 = jnp.sum(w * w, axis=-1)              # = sin^2(theta)
+    small = sin2 < 1e-10
+    safe_sin = jnp.sqrt(jnp.where(small, 1.0, sin2))
+    theta = jnp.arctan2(safe_sin, cos_t)
+    # theta/sin(theta); series in sin2 for the small branch (theta ~ |w|)
+    scale = jnp.where(small, 1.0 + sin2 / 6.0, theta / safe_sin)
     generic = w * scale[..., None]
 
     # Near theta = pi, w vanishes; recover axis from diagonal of R + I.
-    near_pi = theta > 3.0
+    near_pi = cos_t < -0.98
+    theta = jnp.where(small & (cos_t < 0), jnp.pi, theta)  # sin~0, cos~-1
     B = (R + jnp.swapaxes(R, -1, -2)) * 0.5  # symmetric part
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
     axis_sq = jnp.maximum((diag - cos_t[..., None]) / jnp.maximum(1.0 - cos_t[..., None], _EPS), 0.0)
-    axis = jnp.sqrt(axis_sq)
+    axis = jnp.sqrt(jnp.where(near_pi[..., None], jnp.maximum(axis_sq, _EPS), 1.0))
     # Fix signs using the off-diagonal skew part (w gives the sign of each component).
     sign = jnp.where(w >= 0.0, 1.0, -1.0)
     axis = axis * sign
@@ -84,19 +87,17 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) left Jacobian J_l(phi), used by se3 exp (V matrix)."""
+    """SO(3) left Jacobian J_l(phi), used by se3 exp (V matrix). AD-safe."""
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_t2)
     K = hat(phi)
     KK = K @ K
-    small = theta < 1e-4
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     c = jnp.where(
-        small,
-        1.0 / 6.0 - theta2 / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta),
+        small, 1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (safe_t2 * theta),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + b[..., None, None] * K + c[..., None, None] * KK
@@ -104,16 +105,17 @@ def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_t2)
     K = hat(phi)
     KK = K @ K
-    small = theta < 1e-4
     half_theta = 0.5 * theta
-    cot = jnp.cos(half_theta) / jnp.where(small, 1.0, jnp.sin(half_theta))
+    sin_half = jnp.sin(half_theta)
+    cot = jnp.cos(half_theta) / jnp.where(small, 1.0, sin_half)
     coef = jnp.where(
-        small,
-        1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half_theta * cot) / jnp.where(small, 1.0, theta2),
+        small, 1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - half_theta * cot) / safe_t2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye - 0.5 * K + coef[..., None, None] * KK

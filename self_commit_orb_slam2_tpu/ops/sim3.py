@@ -101,15 +101,16 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     s = jnp.exp(sigma)
     R = se3.so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     Om = se3.hat(phi)
     Om2 = Om @ Om
 
     eps = 1e-5
     sigma_small = jnp.abs(sigma) < eps
-    theta_small = theta < eps
+    theta_small = theta2 < eps * eps
+    # AD-safe: sqrt and divisions only ever see sanitized inputs
+    safe_theta = jnp.sqrt(jnp.where(theta_small, 1.0, theta2))
+    theta = jnp.where(theta_small, 0.0, safe_theta)
     safe_sigma = jnp.where(sigma_small, 1.0, sigma)
-    safe_theta = jnp.where(theta_small, 1.0, theta)
     safe_t2s2 = safe_theta * safe_theta + safe_sigma * safe_sigma
 
     # Coefficients per the four (sigma, theta) small/large cases.

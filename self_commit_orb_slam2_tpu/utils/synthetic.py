@@ -236,6 +236,29 @@ def lookat_trajectory(
     return np.stack(poses).astype(np.float32)
 
 
+def spin_trajectory(
+    n_frames: int,
+    center: np.ndarray | None = None,
+    frames_per_rev: int = 72,
+) -> np.ndarray:
+    """Full in-place yaw rotation: the canonical loop-closure scenario
+    (camera sees the room walls sector by sector and returns to the first
+    view).  Returns Tcw [n, 4, 4]."""
+    if center is None:
+        center = np.array([0.0, 0.0, 1.3])
+    poses = []
+    for i in range(n_frames):
+        yaw = 2 * np.pi * i / frames_per_rev
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rwc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rcw = Rwc.T
+        T = np.eye(4)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ center
+        poses.append(T)
+    return np.stack(poses).astype(np.float32)
+
+
 @dataclass
 class SyntheticSequence:
     """A fully rendered sequence with ground truth."""
