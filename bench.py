@@ -48,13 +48,18 @@ def main():
     )
     slam = System(cfg)
 
-    # warmup batch (compiles init + batch step + mapper branches)
-    w = 8
-    slam.track_batch_rgbd(seq.images[:w], seq.depths[:w], seq.timestamps[:w])
+    # two equal-shape batches: the first compiles (and must have the SAME
+    # batch length as the timed one — a different length is a new XLA
+    # program), the second is the measurement.
+    B = (n_frames - 1) // 2
+    slam.track_batch_rgbd(seq.images[: 1 + B], seq.depths[: 1 + B],
+                          seq.timestamps[: 1 + B])  # init frame + B
     t0 = time.perf_counter()
-    slam.track_batch_rgbd(seq.images[w:], seq.depths[w:], seq.timestamps[w:])
+    slam.track_batch_rgbd(seq.images[1 + B : 1 + 2 * B],
+                          seq.depths[1 + B : 1 + 2 * B],
+                          seq.timestamps[1 + B : 1 + 2 * B])
     dt = time.perf_counter() - t0
-    fps = (n_frames - w) / dt
+    fps = B / dt
 
     _, est = slam.get_trajectory()
     ate = ate_rmse(est, seq.poses_gt)
@@ -69,7 +74,7 @@ def main():
             "n_frames": n_frames,
             "keyframes": slam.n_keyframes(),
             "map_points": slam.n_points(),
-            "median_ms": round(dt / (n_frames - w) * 1e3, 2),
+            "median_ms": round(dt / B * 1e3, 2),
             "backend": str(jax.devices()[0]),
             "tracking_lost": slam.state != 1,
             "mode": "batched",

@@ -202,6 +202,136 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> M
     return m._replace(kf_obs_pt=kf_obs_pt)
 
 
+def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
+                      max_new: int = 128) -> MapState:
+    """Triangulate new map points between the new KF and covisible neighbors.
+
+    Reference: LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:312-626):
+    for the top covisible keyframes, match free features under the epipolar
+    constraint (ORBmatcher::SearchForTriangulation + CheckDistEpipolarLine),
+    triangulate, and gate by parallax / positive depth / reprojection chi2 /
+    scale consistency.  TPU form: one [neighbors, N, N] masked Hamming pass,
+    best-neighbor selection per feature, batched DLT triangulation, single
+    scatter insert binding BOTH observations.
+    """
+    from ..ops.camera import project
+    from ..ops.matching import core as mcore
+    from ..ops.triangulate import projection_matrix, triangulate_linear
+
+    cam = config.camera
+    n_nb = 8
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    sigma2 = jnp.asarray(config.orb.sigma2())
+
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    counts = counts.at[kf_id].set(0)
+    topv, topi = jax.lax.top_k(counts, n_nb)
+    nb_ok = topv > 0
+
+    Tcw1 = m.kf_Tcw[kf_id]
+    c1 = se3.inverse(Tcw1)[:3, 3]
+    free1 = m.kf_feat_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    desc1 = m.kf_desc[kf_id]
+    xy1 = m.kf_xy[kf_id]
+    K33 = cam.K
+
+    def per_neighbor(nb, ok):
+        Tcw2 = m.kf_Tcw[nb]
+        c2 = se3.inverse(Tcw2)[:3, 3]
+        baseline = jnp.linalg.norm(c1 - c2)
+        # baseline gate (reference :366-384): stereo needs baseline > b
+        med_depth = 2.0  # conservative scene scale for the mono ratio test
+        enough_baseline = jnp.where(
+            cam.bf > 0, baseline > cam.baseline, baseline / med_depth > 0.01
+        )
+        free2 = m.kf_feat_valid[nb] & (m.kf_obs_pt[nb] < 0)
+        # fundamental matrix F12 = K^-T [t]x R K^-1 (reference ComputeF12)
+        T12 = Tcw1 @ se3.inverse(Tcw2)
+        R12 = T12[:3, :3]
+        t12 = T12[:3, 3]
+        Kinv = jnp.linalg.inv(K33)
+        F12 = Kinv.T @ se3.hat(t12) @ R12 @ Kinv
+        # epipolar distance of feature2 to line of feature1: l = F12^T x1
+        ones = jnp.ones((xy1.shape[0], 1), xy1.dtype)
+        x1h = jnp.concatenate([xy1, ones], -1)
+        lines = x1h @ F12  # [N, 3] lines in image 2
+        xy2 = m.kf_xy[nb]
+        num = (
+            lines[:, None, 0] * xy2[None, :, 0]
+            + lines[:, None, 1] * xy2[None, :, 1]
+            + lines[:, None, 2]
+        ) ** 2
+        den = jnp.maximum(lines[:, None, 0] ** 2 + lines[:, None, 1] ** 2, 1e-12)
+        epi_ok = num / den < 3.84 * sigma2[m.kf_level[nb]][None, :]
+        match = mcore.mutual_best_match(
+            desc1, m.kf_desc[nb], epi_ok, free1 & ok & enough_baseline, free2,
+            max_dist=mcore.TH_LOW, ratio=0.9,
+        )
+        return match.idx, jnp.where(match.valid, match.dist, 10_000)
+
+    nb_idx, nb_dist = jax.vmap(per_neighbor)(topi, nb_ok)  # [n_nb, N]
+    best_nb = jnp.argmin(nb_dist, axis=0)  # [N]
+    best_dist = jnp.min(nb_dist, axis=0)
+    has_match = best_dist < mcore.TH_LOW
+    nb_kf = topi[best_nb]                                  # [N]
+    nb_feat = jnp.take_along_axis(nb_idx, best_nb[None, :], 0)[0]
+    nb_feat = jnp.clip(nb_feat, 0, m.feat_cap - 1)
+
+    # triangulate each (feature1, neighbor feature) pair
+    P1 = projection_matrix(K33, Tcw1)
+    P2 = projection_matrix(K33, m.kf_Tcw[nb_kf])           # [N, 3, 4]
+    uv2 = m.kf_xy[nb_kf, nb_feat]
+    pts = triangulate_linear(xy1, uv2, P1, P2)
+
+    # gates (reference :430-560)
+    R1, t1 = Tcw1[:3, :3], Tcw1[:3, 3]
+    pc1 = pts @ R1.T + t1
+    Tcw2g = m.kf_Tcw[nb_kf]
+    pc2 = jnp.einsum("nij,nj->ni", Tcw2g[:, :3, :3], pts) + Tcw2g[:, :3, 3]
+    uv1_hat, z1 = project(cam, pc1)
+    uv2_hat, z2 = project(cam, pc2)
+    e1 = jnp.sum((uv1_hat - xy1) ** 2, -1) / sigma2[m.kf_level[kf_id]]
+    e2 = jnp.sum((uv2_hat - uv2) ** 2, -1) / sigma2[m.kf_level[nb_kf, nb_feat]]
+    ray1 = pts - c1
+    c2g = -jnp.einsum("nij,ni->nj", Tcw2g[:, :3, :3], Tcw2g[:, :3, 3])
+    ray2 = pts - c2g
+    cos_par = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-9
+    )
+    dist1 = jnp.linalg.norm(ray1, axis=-1)
+    dist2 = jnp.linalg.norm(ray2, axis=-1)
+    ratio_dist = dist2 / jnp.maximum(dist1, 1e-9)
+    ratio_octave = (
+        scale_factors[m.kf_level[nb_kf, nb_feat]]
+        / scale_factors[m.kf_level[kf_id]]
+    )
+    scale_ok = (ratio_dist < ratio_octave * 1.5) & (ratio_dist * 1.5 > ratio_octave)
+
+    good = (
+        has_match
+        & jnp.all(jnp.isfinite(pts), -1)
+        & (z1 > 0) & (z2 > 0)
+        & (cos_par < 0.9998) & (cos_par > 0)
+        & (e1 < 5.991) & (e2 < 5.991)
+        & scale_ok
+    )
+    # cap per keyframe: keep the best-matching max_new
+    order = jnp.argsort(jnp.where(good, best_dist, 10_000))
+    rank = jnp.zeros(m.feat_cap, jnp.int32).at[order].set(
+        jnp.arange(m.feat_cap, dtype=jnp.int32)
+    )
+    create = good & (rank < max_new)
+
+    feat_idx = jnp.arange(m.feat_cap, dtype=jnp.int32)
+    m, new_ids = ms.add_points(m, config, kf_id, feat_idx, pts, create)
+    # bind the neighbor-side observation too (2-obs points from birth)
+    tgt_kf = jnp.where(create & (new_ids >= 0), nb_kf, m.max_kf + 1)
+    m = m._replace(
+        kf_obs_pt=m.kf_obs_pt.at[tgt_kf, nb_feat].set(new_ids, mode="drop")
+    )
+    return m
+
+
 def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     """Local BA over a covisibility-ranked window around the new keyframe.
 
@@ -282,6 +412,50 @@ def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray)
     return m._replace(kf_Tcw=kf_Tcw, pt_pos=pt_pos, kf_obs_pt=kf_obs_pt)
 
 
+def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Retire redundant covisible keyframes.
+
+    Reference: LocalMapping::KeyFrameCulling (src/LocalMapping.cc:873-1030):
+    a covisible KF whose map points are >= 90% observed by >= 3 other
+    keyframes is marked bad; its pose is preserved relative to a parent
+    (KeyFrame::SetBadFlag stores mTcp, src/KeyFrame.cc:571-724) so
+    trajectory entries referencing it stay resolvable.
+    """
+    obs_count = ms.observation_count(m)
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    counts = counts.at[kf_id].set(0)
+    topv, topi = jax.lax.top_k(counts, min(10, m.max_kf))
+
+    def redundancy(k):
+        ids = m.kf_obs_pt[k]
+        ok = (ids >= 0) & m.kf_feat_valid[k]
+        oc = obs_count[jnp.clip(ids, 0, m.max_pt - 1)]
+        redundant = jnp.sum(ok & (oc >= 4))  # >=3 others + itself
+        total = jnp.maximum(jnp.sum(ok), 1)
+        return redundant.astype(jnp.float32) / total.astype(jnp.float32)
+
+    red = jax.vmap(redundancy)(topi)
+    # cull at most ONE keyframe per pass (the most redundant), never KF 0 or
+    # the current one — incremental like the reference's per-iteration cull
+    red = jnp.where((topv > 0) & (topi != 0) & (topi != kf_id), red, 0.0)
+    worst = jnp.argmax(red)
+    victim = topi[worst]
+    do_cull = red[worst] >= 0.9
+
+    # parent = its most covisible surviving keyframe
+    vcounts = ms.covisibility_row(m, m.kf_obs_pt[victim])
+    vcounts = vcounts.at[victim].set(0)
+    parent = jnp.argmax(vcounts).astype(jnp.int32)
+    Tcp = m.kf_Tcw[victim] @ se3.inverse(m.kf_Tcw[parent])
+
+    victim_s = jnp.where(do_cull, victim, m.max_kf + 1)
+    return m._replace(
+        kf_valid=m.kf_valid.at[victim_s].set(False, mode="drop"),
+        kf_parent=m.kf_parent.at[victim_s].set(parent, mode="drop"),
+        kf_Tcp=m.kf_Tcp.at[victim_s].set(Tcp, mode="drop"),
+    )
+
+
 class LocalMapper:
     def __init__(self, config: SlamConfig):
         self.config = config
@@ -295,7 +469,9 @@ class LocalMapper:
 
 def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     m = cull_points(config, m, kf_id)
+    m = create_new_points(config, m, kf_id)
     m = fuse_into_keyframe(config, m, kf_id)
     m = refresh_observed_points(config, m, kf_id)
     m = local_bundle_adjustment(config, m, kf_id)
+    m = cull_keyframes(config, m, kf_id)
     return m

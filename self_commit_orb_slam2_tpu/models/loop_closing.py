@@ -145,7 +145,7 @@ def correct_loop(
     S_init = S_old.at[kf_id].set(S_corr_cur)
 
     # ---- edges ----
-    # sequential chain over valid keyframes
+    # sequential chain over valid keyframes (spanning-tree analogue)
     idx = jnp.arange(K, dtype=jnp.int32)
     seq_i = idx[1:]
     seq_j = idx[:-1]
@@ -153,16 +153,35 @@ def correct_loop(
     seq_meas = jax.vmap(
         lambda i, j: sim3.compose(S_old[i], sim3.inverse(S_old[j]))
     )(seq_i, seq_j)
+
+    # strong covisibility edges (reference adds covisibility edges with
+    # weight >= minFeat=100, Optimizer.cc:1183-1230): top-3 covisible
+    # partners per keyframe above a shared-observation threshold
+    def covis_edges(k):
+        counts = ms.covisibility_row(m, m.kf_obs_pt[k])
+        counts = counts.at[k].set(0)
+        topv, topi = jax.lax.top_k(counts, 3)
+        ok = (topv >= 30) & m.kf_valid[k] & (topi != k)
+        return topi, ok
+
+    cov_j, cov_ok = jax.vmap(covis_edges)(idx)  # [K, 3]
+    cov_i = jnp.repeat(idx, 3)
+    cov_j = cov_j.reshape(-1)
+    cov_ok = cov_ok.reshape(-1)
+    cov_meas = jax.vmap(
+        lambda i, j: sim3.compose(S_old[i], sim3.inverse(S_old[j]))
+    )(cov_i, cov_j)
+
     # loop edge: measured relative S_cur_cand
     loop_i = kf_id[None]
     loop_j = det.cand_kf[None]
     loop_meas = det.S_cur_cand[None]
     loop_valid = jnp.array([True])
 
-    edge_i = jnp.concatenate([seq_i, loop_i])
-    edge_j = jnp.concatenate([seq_j, loop_j])
-    edge_meas = jnp.concatenate([seq_meas, loop_meas])
-    edge_valid = jnp.concatenate([seq_valid, loop_valid])
+    edge_i = jnp.concatenate([seq_i, cov_i, loop_i])
+    edge_j = jnp.concatenate([seq_j, cov_j, loop_j])
+    edge_meas = jnp.concatenate([seq_meas, cov_meas, loop_meas])
+    edge_valid = jnp.concatenate([seq_valid, cov_ok, loop_valid])
 
     fixed = ~m.kf_valid | (idx == det.cand_kf)
     res = optimize_pose_graph(

@@ -48,6 +48,8 @@ class MapState(NamedTuple):
     kf_feat_valid: jnp.ndarray # [K, N] bool
     kf_obs_pt: jnp.ndarray     # [K, N] int32 point id (-1 = none)
     kf_bow: jnp.ndarray        # [K, W] dense TF-IDF vectors (W=1 if no vocab)
+    kf_parent: jnp.ndarray     # [K] int32: parent after culling (-1 = live)
+    kf_Tcp: jnp.ndarray        # [K, 4, 4] relative pose to parent at cull time
     kf_word: jnp.ndarray       # [K, N] int32 BoW word ids (-1 = none)
     kf_node: jnp.ndarray       # [K, N] int32 mid-level node ids (SearchByBoW)
     # --- map points ---
@@ -98,6 +100,8 @@ def empty_map(config: SlamConfig) -> MapState:
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs_pt=jnp.full((K, N), NO_POINT, jnp.int32),
         kf_bow=jnp.zeros((K, W), f32),
+        kf_parent=jnp.full(K, -1, jnp.int32),
+        kf_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         kf_word=jnp.full((K, N), -1, jnp.int32),
         kf_node=jnp.full((K, N), -1, jnp.int32),
         pt_pos=jnp.zeros((P, 3), f32),

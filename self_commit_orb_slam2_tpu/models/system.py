@@ -192,9 +192,24 @@ class System:
         each frame's T_cr is composed with its reference keyframe's CURRENT
         (possibly corrected) pose."""
         kf_poses = np.asarray(self.map.kf_Tcw)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_parent = np.asarray(self.map.kf_parent)
+        kf_Tcp = np.asarray(self.map.kf_Tcp)
+
+        def resolve(ref: int) -> np.ndarray:
+            # walk the parent chain for culled keyframes (reference
+            # SaveTrajectoryTUM, src/System.cc:438-460)
+            T = np.eye(4)
+            guard = 0
+            while not kf_valid[ref] and kf_parent[ref] >= 0 and guard < 64:
+                T = T @ kf_Tcp[ref]
+                ref = int(kf_parent[ref])
+                guard += 1
+            return T @ kf_poses[ref]
+
         ts = np.array([t for t, _, _ in self._rel_trajectory])
         poses = np.stack([
-            Tcr @ kf_poses[ref] for _, ref, Tcr in self._rel_trajectory
+            Tcr @ resolve(ref) for _, ref, Tcr in self._rel_trajectory
         ]) if self._rel_trajectory else np.zeros((0, 4, 4))
         return ts, poses
 
@@ -205,6 +220,21 @@ class System:
     def save_trajectory_kitti(self, path: str) -> None:
         _, poses = self.get_trajectory()
         traj_io.save_kitti(path, poses)
+
+    def save_map(self, path: str) -> None:
+        """Persist the map (the reference's System.h:146-149 SaveMap TODO,
+        implemented)."""
+        from .checkpoint import save_map
+
+        save_map(path, self.map)
+
+    def load_map(self, path: str) -> None:
+        """Restore a map; typically followed by activate_localization_mode()
+        + relocalization against it."""
+        from .checkpoint import load_map
+
+        self.map = load_map(path)
+        self.state = STATE_NOT_INITIALIZED if int(self.map.n_kf) == 0 else STATE_LOST
 
     def n_keyframes(self) -> int:
         return int(self.map.n_kf)

@@ -1,0 +1,150 @@
+"""Dataset driver CLI: the counterpart of the reference's Examples/ programs.
+
+Usage:
+  python -m self_commit_orb_slam2_tpu.run_slam --synthetic --frames 60
+  python -m self_commit_orb_slam2_tpu.run_slam --dataset tum   --path <dir> --settings TUM1.yaml
+  python -m self_commit_orb_slam2_tpu.run_slam --dataset kitti --path <seq_dir>
+  python -m self_commit_orb_slam2_tpu.run_slam --dataset euroc --path <dir> --settings EuRoC.yaml
+
+Like the reference drivers (Examples/Monocular/mono_tum.cc:80-125) it prints
+median/mean tracking time and writes a TUM-format trajectory; with ground
+truth available it also reports ATE RMSE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["tum", "kitti", "euroc"], default=None)
+    ap.add_argument("--path", default=None)
+    ap.add_argument("--settings", default=None)
+    ap.add_argument("--vocab", default=None, help="trained vocabulary .npz")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--output", default="trajectory_tum.txt")
+    ap.add_argument("--kitti-output", default=None)
+    ap.add_argument("--localization", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="process frames in device batches of this size")
+    args = ap.parse_args(argv)
+
+    from .models.config import Capacities, SlamConfig, TrackingConfig
+    from .models.system import System
+    from .ops.camera import CameraParams
+    from .ops.orb.extractor import OrbConfig
+
+    vocab = None
+    if args.vocab:
+        from .ops.bow import load_vocabulary
+
+        vocab = load_vocabulary(args.vocab)
+
+    if args.synthetic:
+        from .utils.synthetic import generate_sequence
+
+        seq = generate_sequence(n_frames=args.frames, width=320, height=240, seed=5)
+        cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                                  bf=26.0, width=320, height=240)
+        cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
+                         caps=Capacities(max_keyframes=128, max_points=32768),
+                         tracking=TrackingConfig(max_frames_between_kf=10),
+                         sensor="rgbd", vocab=vocab)
+        slam = System(cfg)
+        if args.localization:
+            slam.activate_localization_mode()
+        frames = [(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
+                  for i in range(args.frames)]
+        sensor = "rgbd"
+        gt = seq.poses_gt
+    elif args.dataset == "tum":
+        from .utils.config_io import load_settings
+        from .utils.datasets import TumRgbdDataset
+
+        cfg = load_settings(args.settings, sensor="rgbd", vocab=vocab)
+        ds = TumRgbdDataset(args.path,
+                            depth_factor=1.0)  # config_io handles the factor
+        slam = System(cfg)
+        frames = [(f.image, f.depth, f.timestamp) for f in ds]
+        sensor = "rgbd"
+        gt = None
+    elif args.dataset == "kitti":
+        from .utils.datasets import KittiOdometryDataset
+
+        ds = KittiOdometryDataset(args.path)
+        cp = ds.camera_params
+        f0 = ds[0]
+        h, w = f0.left.shape
+        cam = CameraParams.create(fx=cp["fx"], fy=cp["fy"], cx=cp["cx"],
+                                  cy=cp["cy"], bf=cp.get("bf", 0.0),
+                                  width=w, height=h)
+        cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000),
+                         caps=Capacities(max_keyframes=256, max_points=131072,
+                                         local_points=4096),
+                         tracking=TrackingConfig(max_frames_between_kf=10),
+                         sensor="stereo", vocab=vocab)
+        slam = System(cfg)
+        frames = [(ds[i].left, ds[i].right, ds[i].timestamp) for i in range(len(ds))]
+        sensor = "stereo"
+        gt = None
+    elif args.dataset == "euroc":
+        from .utils.config_io import load_settings
+        from .utils.datasets import EurocDataset
+
+        cfg = load_settings(args.settings, sensor="stereo", vocab=vocab)
+        ds = EurocDataset(args.path)
+        slam = System(cfg)
+        frames = [(ds[i].left, ds[i].right, ds[i].timestamp) for i in range(len(ds))]
+        sensor = "stereo"
+        gt = None
+    else:
+        ap.error("need --synthetic or --dataset")
+        return 2
+
+    track = slam.track_rgbd if sensor == "rgbd" else slam.track_stereo
+    t0 = time.time()
+    if args.batch and sensor == "rgbd":
+        a = np.stack([f[0] for f in frames])
+        b = np.stack([f[1] for f in frames])
+        ts = np.array([f[2] for f in frames])
+        for s in range(0, len(frames), args.batch):
+            slam.track_batch_rgbd(a[s:s + args.batch], b[s:s + args.batch],
+                                  ts[s:s + args.batch])
+    else:
+        for i, (a, b, ts) in enumerate(frames):
+            track(a, b, ts)
+            if i % 50 == 0:
+                print(f"frame {i}/{len(frames)} state={slam.state} "
+                      f"kf={slam.n_keyframes()}", file=sys.stderr)
+    total = time.time() - t0
+
+    timings = np.array(slam.timings[5:]) if len(slam.timings) > 5 else np.array([1.0])
+    print(f"frames: {len(frames)}  total: {total:.1f}s")
+    print(f"median tracking time: {np.median(timings)*1e3:.1f} ms")
+    print(f"mean tracking time:   {np.mean(timings)*1e3:.1f} ms")
+    print(f"keyframes: {slam.n_keyframes()}  map points: {slam.n_points()}")
+
+    slam.save_trajectory_tum(args.output)
+    print(f"trajectory written: {args.output}")
+    if args.kitti_output:
+        slam.save_trajectory_kitti(args.kitti_output)
+
+    if gt is not None:
+        from .utils.evaluation import ate_rmse, rpe_rmse
+
+        _, est = slam.get_trajectory()
+        n = min(len(est), len(gt))
+        ate = ate_rmse(est[:n], gt[:n])
+        rpe_t, rpe_r = rpe_rmse(est[:n], gt[:n])
+        print(f"ATE RMSE: {ate*100:.2f} cm   RPE: {rpe_t*100:.2f} cm/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
