@@ -63,6 +63,15 @@ class TrackingConfig(NamedTuple):
     # the reference's uniform weighting assumes; the extra weight anchors
     # translation-along-view drift in low-parallax scenes.
     rgbd_ur_weight: float = 25.0
+    # Monocular initialization gates.  The reference demands >=100 matches
+    # with its DOUBLED init extractor (2x nFeatures, Tracking.cc:121); these
+    # scale to the configured feature budget.
+    mono_init_min_matches: int = 60
+    mono_init_min_points: int = 40
+    mono_init_min_parallax: float = 2.0  # degrees; reject low-baseline inits
+    # mono keyframes must come faster (no depth seeding; reference uses
+    # thRefRatio=0.9 for mono vs 0.75 stereo, Tracking.cc:1575)
+    kf_attrition_ratio_mono: float = 0.9
 
 
 class SlamConfig(NamedTuple):

@@ -83,7 +83,9 @@ def _need_keyframe(config: SlamConfig, m: MapState, carry: TrackCarry,
     c1 = frames_since >= cfg.max_frames_between_kf
     c2 = overlap < cfg.kf_ref_ratio_stereo
     c3 = (n_close_tracked < cfg.kf_min_close_points) & (n_close_new > cfg.kf_min_new_close)
-    c4 = n_inl < (cfg.kf_attrition_ratio * carry.prev_inliers.astype(jnp.float32))
+    attrition = (cfg.kf_attrition_ratio_mono if config.sensor == "mono"
+                 else cfg.kf_attrition_ratio)
+    c4 = n_inl < (attrition * carry.prev_inliers.astype(jnp.float32))
     capacity_ok = m.n_kf < m.max_kf
     need = (c1 | c2 | c3 | c4) & (n_inl >= 15) & capacity_ok
     return need & (not localization_only) & (frames_since >= cfg.min_frames_between_kf)
@@ -215,6 +217,14 @@ def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
 
     (m, carry), infos = jax.lax.scan(body, (m, carry), (images_l, images_r, timestamps))
     return m, carry, infos
+
+
+def step_mono(config: SlamConfig, m: MapState, carry: TrackCarry,
+              image: jnp.ndarray, timestamp: jnp.ndarray,
+              localization_only: bool = False, run_mapping: bool = True):
+    frame = frame_mod.make_frame_mono(config, image)
+    return track_step(config, m, carry, frame, timestamp, localization_only,
+                      run_mapping)
 
 
 def init_rgbd(config: SlamConfig, m: MapState, image: jnp.ndarray,

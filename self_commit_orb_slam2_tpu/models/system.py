@@ -58,6 +58,9 @@ class System:
         self.Tcw = jnp.eye(4)
 
         cfg = config
+        self._mono_first = None   # (FrameData, timestamp) awaiting init
+        self._mono_first_ts = 0.0
+        self._mono_key = jax.random.PRNGKey(11)
         # jit variants: (sensor, localization_only) -> fused step
         self._steps = {}
         for loc in (False, True):
@@ -68,6 +71,11 @@ class System:
             )
             self._steps[("stereo", loc)] = jax.jit(
                 functools.partial(pipeline.step_stereo, cfg, localization_only=loc,
+                                  run_mapping=enable_mapping),
+                donate_argnums=(0, 1),
+            )
+            self._steps[("mono", loc)] = jax.jit(
+                functools.partial(pipeline.step_mono, cfg, localization_only=loc,
                                   run_mapping=enable_mapping),
                 donate_argnums=(0, 1),
             )
@@ -112,6 +120,13 @@ class System:
             (jnp.asarray(image, jnp.float32), jnp.asarray(depth, jnp.float32)),
             timestamp,
         )
+        self.timings.append(time.perf_counter() - t0)
+        return out
+
+    def track_monocular(self, image: np.ndarray, timestamp: float) -> np.ndarray:
+        """Reference System::TrackMonocular (src/System.cc:292)."""
+        t0 = time.perf_counter()
+        out = self._track("mono", (jnp.asarray(image, jnp.float32),), timestamp)
         self.timings.append(time.perf_counter() - t0)
         return out
 
@@ -253,6 +268,8 @@ class System:
     # ------------------------------------------------------------ state machine
 
     def _track(self, sensor: str, images: tuple, timestamp: float) -> np.ndarray:
+        if self.state == STATE_NOT_INITIALIZED and sensor == "mono":
+            return self._mono_initialize(images[0], timestamp)
         if self.state == STATE_NOT_INITIALIZED:
             init = self._init_rgbd if sensor == "rgbd" else self._init_stereo
             m, carry, n_depth = init(self.map, *images, jnp.float32(timestamp))
@@ -291,5 +308,55 @@ class System:
             self._rel_trajectory.append((timestamp, int(info.ref_kf), Tcr))
 
         Tcw_np = np.asarray(self.Tcw)
+        self.trajectory.append((timestamp, Tcw_np))
+        return Tcw_np
+
+    def _mono_initialize(self, image, timestamp: float) -> np.ndarray:
+        """Two-frame monocular bootstrap (reference
+        Tracking::MonocularInitialization, src/Tracking.cc:886)."""
+        import functools as _ft
+
+        from . import frame as frame_mod
+        from . import mono_init
+
+        if not hasattr(self, "_jit_mono_frame"):
+            self._jit_mono_frame = jax.jit(
+                _ft.partial(frame_mod.make_frame_mono, self.config)
+            )
+            self._jit_mono_try = jax.jit(
+                _ft.partial(mono_init.try_initialize, self.config)
+            )
+        frame = self._jit_mono_frame(image)
+        n_feat = int(jnp.sum(frame.valid))
+        Tcw_np = np.asarray(self.Tcw)
+        if self._mono_first is None:
+            if n_feat >= 100:
+                self._mono_first = frame
+                self._mono_first_ts = timestamp
+        else:
+            if n_feat < 100:
+                self._mono_first = None
+            else:
+                self._mono_key, sub = jax.random.split(self._mono_key)
+                res = self._jit_mono_try(
+                    self.map, self._mono_first, frame,
+                    jnp.float32(self._mono_first_ts), jnp.float32(timestamp),
+                    jnp.int32(len(self.trajectory)), sub,
+                )
+                if bool(res.success):
+                    self.map = res.m
+                    self.carry = res.carry
+                    self.state = STATE_OK
+                    self.Tcw = res.carry.Tcw
+                    Tcw_np = np.asarray(self.Tcw)
+                    self._rel_trajectory.append(
+                        (timestamp, 1, np.asarray(
+                            Tcw_np @ np.linalg.inv(np.asarray(self.map.kf_Tcw[1])))))
+                    self._mono_first = None
+                elif int(res.n_matches) < self.config.tracking.mono_init_min_matches:
+                    # too few matches: restart from the current frame
+                    # (reference Tracking.cc:938-946)
+                    self._mono_first = frame
+                    self._mono_first_ts = timestamp
         self.trajectory.append((timestamp, Tcw_np))
         return Tcw_np

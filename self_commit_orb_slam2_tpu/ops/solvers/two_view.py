@@ -206,7 +206,7 @@ def _decompose_e(E: jnp.ndarray):
     return R1, R2, t
 
 
-def _reconstruct_f(cam, F, p1, p2, inliers, sigma=1.0):
+def _reconstruct_f(cam, F, p1, p2, inliers, sigma=1.0, min_points=50, min_parallax=1.0):
     """Pick the best of the 4 E decompositions (reference ReconstructF :956)."""
     K = cam.K
     E = K.T @ F @ K
@@ -226,13 +226,13 @@ def _reconstruct_f(cam, F, p1, p2, inliers, sigma=1.0):
     n_inl = jnp.sum(inliers)
     ok = (
         (n_best > 0.7 * jnp.maximum(n_second, 1))
-        & (n_best >= jnp.maximum(0.9 * n_inl, 50))
-        & (par > 1.0)
+        & (n_best >= jnp.maximum(0.9 * n_inl, min_points))
+        & (par > min_parallax)
     )
     return ok, se3.rt_to_mat(R, tt), pts, good, n_best
 
 
-def _reconstruct_h(cam, H, p1, p2, inliers, sigma=1.0):
+def _reconstruct_h(cam, H, p1, p2, inliers, sigma=1.0, min_points=50, min_parallax=1.0):
     """Faugeras decomposition: 8 motion hypotheses from H (reference
     ReconstructH :1135)."""
     K = cam.K
@@ -287,8 +287,8 @@ def _reconstruct_h(cam, H, p1, p2, inliers, sigma=1.0):
     n_inl = jnp.sum(inliers)
     ok = (
         (n_best > 0.75 * jnp.maximum(n_second, 1))
-        & (n_best >= jnp.maximum(0.9 * n_inl, 50))
-        & (par > 1.0)
+        & (n_best >= jnp.maximum(0.9 * n_inl, min_points))
+        & (par > min_parallax)
     )
     return ok, se3.rt_to_mat(R, t), pts, good, n_best
 
@@ -301,6 +301,8 @@ def initialize_two_view(
     key: jnp.ndarray,
     n_hypotheses: int = 256,
     sigma: float = 1.0,
+    min_points: int = 50,
+    min_parallax: float = 1.0,
 ) -> TwoViewResult:
     """Full monocular bootstrap from matched pixel pairs.
 
@@ -343,8 +345,8 @@ def initialize_two_view(
     _, h_inl_r = _score_h(H_best[None], jnp.linalg.inv(H_best)[None], uv1, uv2, valid, sigma)
     _, f_inl_r = _score_f(F_best[None], uv1, uv2, valid, sigma)
 
-    ok_h, T_h, pts_h, good_h, n_h = _reconstruct_h(cam, H_best, uv1, uv2, h_inl_r[0], sigma)
-    ok_f, T_f, pts_f, good_f, n_f = _reconstruct_f(cam, F_best, uv1, uv2, f_inl_r[0], sigma)
+    ok_h, T_h, pts_h, good_h, n_h = _reconstruct_h(cam, H_best, uv1, uv2, h_inl_r[0], sigma, min_points, min_parallax)
+    ok_f, T_f, pts_f, good_f, n_f = _reconstruct_f(cam, F_best, uv1, uv2, f_inl_r[0], sigma, min_points, min_parallax)
 
     success = jnp.where(use_h, ok_h, ok_f)
     Tcw2 = jnp.where(use_h, T_h, T_f)
