@@ -27,6 +27,11 @@ class Capacities(NamedTuple):
     ba_free_kfs: int = 12
     ba_fixed_kfs: int = 12
     ba_points: int = 4096
+    # GN iteration budget for the per-keyframe local BA (pre/post outlier
+    # gate).  The reference uses 5+10 (Optimizer.cc:863-917); 3+5 converges
+    # to the same ATE on the synthetic benchmark at ~half the device time.
+    ba_iters_pre: int = 3
+    ba_iters_post: int = 5
 
 
 class TrackingConfig(NamedTuple):
@@ -72,6 +77,10 @@ class TrackingConfig(NamedTuple):
     # mono keyframes must come faster (no depth seeding; reference uses
     # thRefRatio=0.9 for mono vs 0.75 stereo, Tracking.cc:1575)
     kf_attrition_ratio_mono: float = 0.9
+    # Run global BA after each loop closure (reference
+    # RunGlobalBundleAdjustment).  Disable for workloads where observations
+    # deliberately encode non-physical map edits (tests), or very large maps.
+    enable_loop_gba: bool = True
 
 
 class SlamConfig(NamedTuple):

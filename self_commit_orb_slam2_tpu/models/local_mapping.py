@@ -138,18 +138,47 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> M
     )
     radius = 3.0 * scale_factors[pred_level]  # reference Fuse th=3 (:1044)
 
-    free_feat = m.kf_feat_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
     wmask = mcore.window_mask(uv, m.kf_xy[kf_id], radius)
     lmask = mcore.level_mask(pred_level, m.kf_level[kf_id], -1, 1)
+    # match against ALL features: landing on a free feature adds an
+    # observation; landing on an occupied one merges the duplicate pair
+    # (reference ORBmatcher::Fuse keeps the point with more observations and
+    # MapPoint::Replace forwards the other, src/ORBmatcher.cc:1136-1160,
+    # src/MapPoint.cc:244).
     match = mcore.mutual_best_match(
         m.pt_desc[cand_c], m.kf_desc[kf_id], wmask & lmask,
-        vis, free_feat, max_dist=mcore.TH_LOW, ratio=None,
+        vis, m.kf_feat_valid[kf_id], max_dist=mcore.TH_LOW, ratio=None,
     )
-    tgt = jnp.where(match.valid, match.idx, m.feat_cap + 1)
+    occupied = m.kf_obs_pt[kf_id, jnp.clip(match.idx, 0, m.feat_cap - 1)]
+    hit_free = match.valid & (occupied < 0)
+    hit_occ = match.valid & (occupied >= 0)
+
+    # free features: bind the candidate point
+    tgt = jnp.where(hit_free, match.idx, m.feat_cap + 1)
     new_row = m.kf_obs_pt[kf_id].at[tgt].set(
-        jnp.where(match.valid, cand, -1).astype(jnp.int32), mode="drop"
+        jnp.where(hit_free, cand, -1).astype(jnp.int32), mode="drop"
     )
     m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_row))
+
+    # occupied features: merge (loser = fewer observations -> forwarded)
+    obs_count = ms.observation_count(m)
+    cand_obs = obs_count[cand_c]
+    occ_c = jnp.clip(occupied, 0, m.max_pt - 1)
+    occ_obs = obs_count[occ_c]
+    cand_wins = cand_obs >= occ_obs
+    winner = jnp.where(cand_wins, cand_c, occ_c)
+    loser = jnp.where(cand_wins, occ_c, cand_c)
+    lut = jnp.arange(m.max_pt, dtype=jnp.int32)
+    lut = lut.at[jnp.where(hit_occ, loser, m.max_pt + 1)].set(
+        winner.astype(jnp.int32), mode="drop"
+    )
+    remapped = jnp.where(m.kf_obs_pt >= 0,
+                         lut[jnp.clip(m.kf_obs_pt, 0, m.max_pt - 1)],
+                         m.kf_obs_pt)
+    pt_valid = m.pt_valid.at[jnp.where(hit_occ, loser, m.max_pt + 1)].set(
+        False, mode="drop"
+    )
+    m = m._replace(kf_obs_pt=remapped, pt_valid=pt_valid)
 
     # --- reverse direction: project the new KF's points into each neighbor
     # (reference projects target-KF points into all first/second-order
@@ -391,6 +420,8 @@ def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray)
         m.pt_pos[cand_c],
         obs_pt_l, obs_uvr, sigma2, obs_valid,
         sel_free, cand_ok,
+        n_iters_pre=caps.ba_iters_pre,
+        n_iters_post=caps.ba_iters_post,
         ur_weight=config.ur_weight,
     )
 

@@ -123,8 +123,20 @@ def detect_and_verify(
     s_f, R_f, t_f = horn_align(p_cand, p_cur, w_best, with_scale=not fix_scale)
     if fix_scale:
         s_f = jnp.ones_like(s_f)
-    final_inl = jnp.sum(hyp_inliers(s_f, R_f, t_f))
     S = sim3.make(R_f, t_f, s_f)
+
+    # GN polish with paired projection residuals (reference calls
+    # Optimizer::OptimizeSim3 after the RANSAC solve, LoopClosing.cc:463)
+    from ..ops.optim.sim3_opt import optimize_sim3
+
+    uv_cur = m.kf_xy[kf_id]
+    uv_cand = m.kf_xy[cand, jnp.clip(j, 0, m.feat_cap - 1)]
+    opt = optimize_sim3(
+        cam, S, p_cur, p_cand, uv_cur, uv_cand,
+        match.valid & inl[best], fix_scale=fix_scale,
+    )
+    S = opt.S12
+    final_inl = jnp.sum(hyp_inliers(sim3.scale(S), sim3.rotation(S), sim3.translation(S)))
 
     found = has_cand & (n_matches >= 20) & (final_inl >= MIN_SIM3_INLIERS)
     return LoopDetection(
@@ -199,7 +211,34 @@ def correct_loop(
     p_new = jax.vmap(sim3.apply_point)(jax.vmap(sim3.inverse)(S_new[ref]), p_in_ref)
     pt_pos_new = jnp.where(m.pt_valid[:, None], p_new, m.pt_pos)
 
-    return m._replace(kf_Tcw=kf_Tcw_new, pt_pos=pt_pos_new)
+    m = m._replace(kf_Tcw=kf_Tcw_new, pt_pos=pt_pos_new)
+
+    # ---- fuse loop-side points into the current keyframe now that poses
+    # agree (reference SearchAndFuse, LoopClosing.cc:809)
+    from .local_mapping import fuse_into_keyframe
+
+    m = fuse_into_keyframe(config, m, kf_id)
+
+    # ---- global bundle adjustment (reference RunGlobalBundleAdjustment,
+    # LoopClosing.cc:880: 10 iterations after every loop closure).  The dense
+    # Schur assembly scales with max_kf * max_pt; gate it so huge maps skip
+    # (the sharded BA in parallel/ is the path for those).
+    if config.tracking.enable_loop_gba and m.max_kf * m.max_pt <= 4 * 1024 * 1024:
+        from ..ops.optim.bundle_adjust import bundle_adjust
+
+        obs_uvr = jnp.concatenate([m.kf_xy, m.kf_uright[..., None]], axis=-1)
+        sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level]
+        kf_free = m.kf_valid & (jnp.arange(m.max_kf) != det.cand_kf) & (
+            jnp.arange(m.max_kf) != 0
+        )
+        ba = bundle_adjust(
+            config.camera, m.kf_Tcw, m.pt_pos, m.kf_obs_pt, obs_uvr, sigma2,
+            m.kf_feat_valid & m.kf_valid[:, None], kf_free, m.pt_valid,
+            n_iters_pre=4, n_iters_post=6, ur_weight=config.ur_weight,
+        )
+        m = m._replace(kf_Tcw=ba.kf_Tcw, pt_pos=ba.pt_pos)
+
+    return m
 
 
 class LoopCloser:

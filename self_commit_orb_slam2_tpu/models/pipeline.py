@@ -168,7 +168,9 @@ def track_step(
 def step_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
               image: jnp.ndarray, depth: jnp.ndarray, timestamp: jnp.ndarray,
               localization_only: bool = False, run_mapping: bool = True):
-    frame = frame_mod.make_frame_rgbd(config, image, depth)
+    # uint8 images are fine (4x cheaper host->device transfer); cast on device
+    frame = frame_mod.make_frame_rgbd(config, image.astype(jnp.float32),
+                                      depth.astype(jnp.float32))
     return track_step(config, m, carry, frame, timestamp, localization_only,
                       run_mapping)
 
@@ -176,7 +178,8 @@ def step_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
 def step_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
                 image_l: jnp.ndarray, image_r: jnp.ndarray, timestamp: jnp.ndarray,
                 localization_only: bool = False, run_mapping: bool = True):
-    frame = frame_mod.make_frame_stereo(config, image_l, image_r)
+    frame = frame_mod.make_frame_stereo(config, image_l.astype(jnp.float32),
+                                        image_r.astype(jnp.float32))
     return track_step(config, m, carry, frame, timestamp, localization_only,
                       run_mapping)
 
@@ -222,7 +225,7 @@ def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
 def step_mono(config: SlamConfig, m: MapState, carry: TrackCarry,
               image: jnp.ndarray, timestamp: jnp.ndarray,
               localization_only: bool = False, run_mapping: bool = True):
-    frame = frame_mod.make_frame_mono(config, image)
+    frame = frame_mod.make_frame_mono(config, image.astype(jnp.float32))
     return track_step(config, m, carry, frame, timestamp, localization_only,
                       run_mapping)
 

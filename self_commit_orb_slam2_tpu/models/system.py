@@ -158,9 +158,10 @@ class System:
             return np.asarray(self.Tcw)[None]
         t0 = time.perf_counter()
         batch = self._batches[("rgbd", self.localization_only)]
+        # ship images as uint8 (4x cheaper transfer; cast on device)
+        imgs_dev = jnp.asarray(np.clip(images[i0:], 0, 255).astype(np.uint8))
         self.map, self.carry, infos = batch(
-            self.map, self.carry,
-            jnp.asarray(images[i0:], jnp.float32),
+            self.map, self.carry, imgs_dev,
             jnp.asarray(depths[i0:], jnp.float32),
             jnp.asarray(timestamps[i0:], jnp.float32),
         )

@@ -37,7 +37,10 @@ def make_config(vocab):
     return SlamConfig(
         camera=cam, orb=OrbConfig(n_features=500),
         caps=Capacities(max_keyframes=48, max_points=16384, local_points=1024),
-        tracking=TrackingConfig(max_frames_between_kf=6),
+        # the drift-injection test applies a NON-physical rigid tear to the
+        # map; global BA would faithfully pull back toward the torn
+        # observations, so evaluate the pose-graph correction in isolation
+        tracking=TrackingConfig(max_frames_between_kf=6, enable_loop_gba=False),
         sensor="rgbd", vocab=vocab,
     )
 
