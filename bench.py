@@ -62,7 +62,7 @@ def main():
     fps = B / dt
 
     _, est = slam.get_trajectory()
-    ate = ate_rmse(est, seq.poses_gt)
+    ate = ate_rmse(est, seq.poses_gt[: len(est)])
 
     print(json.dumps({
         "metric": "rgbd_tracking_fps_320x240_500feat",

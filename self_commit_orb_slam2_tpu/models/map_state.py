@@ -83,7 +83,7 @@ class MapState(NamedTuple):
 def empty_map(config: SlamConfig) -> MapState:
     K = config.caps.max_keyframes
     P = config.caps.max_points
-    N = sum(config.orb.level_budgets())
+    N = config.orb.feat_capacity()
     W = config.vocab.n_words if config.vocab is not None else 1
     f32 = jnp.float32
     return MapState(

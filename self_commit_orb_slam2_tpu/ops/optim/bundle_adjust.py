@@ -85,6 +85,34 @@ def _chi2(res, inv_sigma2, is_stereo):
     return e2 * inv_sigma2
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    TPU-friendly replacement for generic LU `jnp.linalg.inv` on [..., 3, 3]
+    stacks: pure VPU elementwise math, no per-matrix control flow.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def bundle_adjust(
     cam: CameraParams,
     kf_Tcw: jnp.ndarray,     # [K, 4, 4]
@@ -109,6 +137,22 @@ def bundle_adjust(
     def stage(carry, n_iters, use_huber, active):
         kf_Tcw, pt_pos = carry
 
+        # TPU layout strategy.  Per-point block assembly (g2o does this with
+        # pointer-chasing edge lists) is a grouping problem that XLA lowers
+        # terribly as either scatter-add or minor-axis gather (measured 3-40ms
+        # per GN iteration).  Instead: the (keyframe, point) incidence is
+        # LOOP-INVARIANT, so build its one-hot matrix once per stage and turn
+        # the per-iteration grouping into ONE batched MXU matmul
+        # [K, 30, N] @ [K, N, P].  Everything P-sized keeps p in the MINOR
+        # (lane) dimension — P is a multiple of 128 so all elementwise /
+        # reduce ops vectorize, and the Schur correction collapses to one
+        # clean [6K, 3P] @ [3P, 6K] matmul.
+        pid = jnp.clip(obs_pt, 0, P - 1)
+        col = jnp.where(active > 0, pid, P)        # inactive -> dropped
+        onehot = (col[:, :, None] ==
+                  jnp.arange(P, dtype=jnp.int32)[None, None, :]
+                  ).astype(kf_Tcw.dtype)           # [K, N, P]
+
         def iteration(_, state):
             kf_Tcw, pt_pos = state
             res, J_c, J_p, is_stereo = _residuals(
@@ -129,56 +173,60 @@ def bundle_adjust(
             # camera blocks
             H_cc = jnp.einsum("knia,kn,knib->kab", J_c, w, J_c)  # [K,6,6]
             b_c = jnp.einsum("knia,kni->ka", J_c, Wres)          # [K,6]
-            # point blocks (scatter over local point index)
-            pid = jnp.clip(obs_pt, 0, P - 1)
-            Hpp_obs = jnp.einsum("knia,kn,knib->knab", J_p, w, J_p)
-            bp_obs = jnp.einsum("knia,kni->kna", J_p, Wres)
-            pid_safe = jnp.where(active, pid, P)
-            H_pp = jnp.zeros((P + 1, 3, 3), res.dtype).at[pid_safe].add(
-                Hpp_obs, mode="drop"
-            )[:P]
-            b_p = jnp.zeros((P + 1, 3), res.dtype).at[pid_safe].add(
-                bp_obs, mode="drop"
-            )[:P]
-            # cross blocks, gathered per point: A[p, 6K, 3]
-            U = jnp.einsum("knia,kn,knib->knab", J_c, w, J_p)  # [K,N,6,3]
-            A = jnp.zeros((P + 1, K, 6, 3), res.dtype).at[
-                pid_safe, jnp.arange(K)[:, None].repeat(N, 1)
-            ].add(U, mode="drop")[:P]
+            # per-observation point/cross blocks, packed into one [K, 30, N]
+            # operand: rows 0:18 = J_c^T W J_p, 18:27 = J_p^T W J_p,
+            # 27:30 = J_p^T W res
+            U = jnp.einsum("knia,kn,knib->kabn", J_c, w, J_p)        # [K,6,3,N]
+            Hpp_obs = jnp.einsum("knia,kn,knib->kabn", J_p, w, J_p)  # [K,3,3,N]
+            bp_obs = jnp.einsum("knia,kni->kan", J_p, Wres)          # [K,3,N]
+            packed = jnp.concatenate([
+                U.reshape(K, 18, N), Hpp_obs.reshape(K, 9, N), bp_obs,
+            ], axis=1)                                               # [K,30,N]
+            # grouping-by-point as a batched matmul (MXU), p stays minor
+            grouped = jnp.einsum(
+                "kxn,knp->kxp", packed, onehot,
+                preferred_element_type=res.dtype,
+            )                                                        # [K,30,P]
+            A = grouped[:, :18].reshape(K * 6, 3, P)                 # [6K,3,P]
+            H_pp = jnp.sum(grouped[:, 18:27], axis=0).reshape(3, 3, P)
+            b_p = jnp.sum(grouped[:, 27:30], axis=0)                 # [3,P]
 
-            # damp + invert point blocks
-            H_pp = H_pp + (damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_pp))
-                           + 1e-6 * jnp.eye(3, dtype=res.dtype))
-            Hpp_inv = jnp.linalg.inv(H_pp)
-            Hpp_inv = Hpp_inv * pt_free[:, None, None].astype(res.dtype)
+            # damp + invert point blocks (closed-form 3x3 on p-minor stacks)
+            eye3 = jnp.eye(3, dtype=res.dtype)[:, :, None]
+            H_pp = H_pp + damping * (eye3 * H_pp) + 1e-6 * eye3
+            Hpp_inv = jnp.moveaxis(
+                inv3x3(jnp.moveaxis(H_pp, -1, 0)), 0, -1
+            )                                                    # [3,3,P]
+            Hpp_inv = Hpp_inv * pt_free[None, None, :].astype(res.dtype)
 
-            A2 = A.reshape(P, K * 6, 3)
-            # S = Hcc(blockdiag) - A Hpp^-1 A^T
+            # S = Hcc(blockdiag) - A Hpp^-1 A^T as ONE MXU matmul:
+            # contraction over (i, p) with row-major [6K, 3, P] collapsing
+            # losslessly to [6K, 3P].
+            B = jnp.einsum("aip,ijp->ajp", A, Hpp_inv)           # [6K,3,P]
+            Br = B.reshape(K * 6, 3 * P)
+            Ar = A.reshape(K * 6, 3 * P)
+            S_corr = jnp.dot(Br, Ar.T, preferred_element_type=res.dtype)
             S = jnp.zeros((K * 6, K * 6), res.dtype)
             idx = jnp.arange(K * 6).reshape(K, 6)
-            S = S.at[idx[:, :, None], idx[:, None, :]].add(
-                H_cc + damping * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_cc))
-            )
-            S = S - jnp.einsum("pai,pij,pbj->ab", A2, Hpp_inv, A2)
+            diag_cc = jnp.eye(6, dtype=res.dtype) * H_cc
+            S = S.at[idx[:, :, None], idx[:, None, :]].add(H_cc + damping * diag_cc)
+            S = S - S_corr
             # fixed cameras: identity rows keep S invertible
             free6 = jnp.repeat(kf_free, 6)
             S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
             S = S + jnp.diag(jnp.where(free6, 1e-8, 1.0))
 
-            rhs = (-b_c).reshape(K * 6) + jnp.einsum(
-                "pai,pij,pj->a", A2, Hpp_inv, b_p
-            )
+            c_p = jnp.einsum("ijp,jp->ip", Hpp_inv, b_p)         # [3,P]
+            rhs = (-b_c).reshape(K * 6) + Ar @ c_p.reshape(3 * P)
             rhs = rhs * free6
             dx_c = jnp.linalg.solve(S, rhs).reshape(K, 6)
-            dx_p = jnp.einsum(
-                "pij,pj->pi", Hpp_inv,
-                -b_p - jnp.einsum("pai,a->pi", A2, dx_c.reshape(K * 6)),
-            )
+            back = (dx_c.reshape(K * 6) @ Ar).reshape(3, P)      # A^T dx_c
+            dx_p = jnp.einsum("ijp,jp->ip", Hpp_inv, -b_p - back)  # [3,P]
             ok = jnp.all(jnp.isfinite(dx_c)) & jnp.all(jnp.isfinite(dx_p))
             dx_c = jnp.where(ok, dx_c, 0.0)
             dx_p = jnp.where(ok, dx_p, 0.0)
             kf_Tcw = jax.vmap(se3.update_left)(kf_Tcw, dx_c)
-            pt_pos = pt_pos + dx_p
+            pt_pos = pt_pos + dx_p.T
             return kf_Tcw, pt_pos
 
         return jax.lax.fori_loop(0, n_iters, iteration, (kf_Tcw, pt_pos))
