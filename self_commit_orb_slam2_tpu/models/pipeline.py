@@ -103,16 +103,21 @@ def track_step(
     """One fused tracking step (frame already constructed)."""
     cfg = config.tracking
 
-    # dual-hypothesis motion tracking (see System docstring)
-    res_vel = tracking.track_motion(
-        config, m, frame, carry.Tcw, carry.velocity, carry.last_frame,
-        carry.last_obs_pt, jnp.float32(cfg.motion_search_radius),
+    # dual-hypothesis motion tracking (see System docstring), both hypotheses
+    # batched through one vmap so the matching tables and GN loops run once
+    # at batch 2 instead of twice sequentially
+    res2 = jax.vmap(
+        lambda vel, rad: tracking.track_motion(
+            config, m, frame, carry.Tcw, vel, carry.last_frame,
+            carry.last_obs_pt, rad,
+        )
+    )(
+        jnp.stack([jnp.eye(4, dtype=jnp.float32), carry.velocity]),
+        jnp.asarray([cfg.motion_search_radius_wide, cfg.motion_search_radius],
+                    jnp.float32),
     )
-    res_static = tracking.track_motion(
-        config, m, frame, carry.Tcw, jnp.eye(4, dtype=jnp.float32),
-        carry.last_frame, carry.last_obs_pt,
-        jnp.float32(cfg.motion_search_radius_wide),
-    )
+    res_static = jax.tree.map(lambda x: x[0], res2)
+    res_vel = jax.tree.map(lambda x: x[1], res2)
     take_static = res_static.n_inliers.astype(jnp.float32) >= 0.9 * res_vel.n_inliers.astype(jnp.float32)
     res = jax.tree.map(
         lambda a, b: jnp.where(take_static, a, b), res_static, res_vel
@@ -165,12 +170,53 @@ def track_step(
     return m, carry_out, info
 
 
+def pack_infos(infos: StepInfo) -> jnp.ndarray:
+    """Flatten a (stacked) StepInfo into ONE [B, 38] f32 array.
+
+    A remote-attached TPU pays a full round trip per fetched BUFFER, not per
+    byte; packing the per-frame summary into a single array makes the host
+    sync one transfer instead of eight.
+    """
+    to2d = lambda x: x.reshape(x.shape[0], -1).astype(jnp.float32)
+    return jnp.concatenate([
+        to2d(infos.Tcw),           # 0:16
+        to2d(infos.ref_kf_Tcw),    # 16:32
+        to2d(infos.n_inliers),     # 32
+        to2d(infos.created_kf),    # 33
+        to2d(infos.state_ok),      # 34
+        to2d(infos.n_keyframes),   # 35
+        to2d(infos.n_points),      # 36
+        to2d(infos.ref_kf),        # 37
+    ], axis=1)
+
+
+def unpack_infos(arr) -> StepInfo:
+    """Host-side inverse of pack_infos (numpy in, numpy out)."""
+    import numpy as np
+
+    B = arr.shape[0]
+    return StepInfo(
+        Tcw=arr[:, 0:16].reshape(B, 4, 4),
+        n_inliers=arr[:, 32].astype(np.int32),
+        created_kf=arr[:, 33] > 0.5,
+        state_ok=arr[:, 34] > 0.5,
+        n_keyframes=arr[:, 35].astype(np.int32),
+        n_points=arr[:, 36].astype(np.int32),
+        ref_kf=arr[:, 37].astype(np.int32),
+        ref_kf_Tcw=arr[:, 16:32].reshape(B, 4, 4),
+    )
+
+
 def step_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
               image: jnp.ndarray, depth: jnp.ndarray, timestamp: jnp.ndarray,
               localization_only: bool = False, run_mapping: bool = True):
-    # uint8 images are fine (4x cheaper host->device transfer); cast on device
+    # uint8 images / uint16-millimeter depth halve host->device transfer on
+    # the remote tunnel; cast on device (dtype is static at trace time)
+    depth_f = depth.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        depth_f = depth_f * jnp.float32(1e-3)
     frame = frame_mod.make_frame_rgbd(config, image.astype(jnp.float32),
-                                      depth.astype(jnp.float32))
+                                      depth_f)
     return track_step(config, m, carry, frame, timestamp, localization_only,
                       run_mapping)
 
@@ -204,7 +250,7 @@ def batch_steps_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
         return (m, carry), info
 
     (m, carry), infos = jax.lax.scan(body, (m, carry), (images, depths, timestamps))
-    return m, carry, infos
+    return m, carry, pack_infos(infos)
 
 
 def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
@@ -219,7 +265,7 @@ def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
         return (m, carry), info
 
     (m, carry), infos = jax.lax.scan(body, (m, carry), (images_l, images_r, timestamps))
-    return m, carry, infos
+    return m, carry, pack_infos(infos)
 
 
 def step_mono(config: SlamConfig, m: MapState, carry: TrackCarry,

@@ -145,10 +145,24 @@ def pose_optimize(
         T, active = carry
         use_huber = round_idx < 2
 
-        def iter_body(_, T):
-            return gn_iteration(T, active, use_huber)
+        # early-exit GN: a tracked pose typically converges in 2-4 steps, and
+        # on TPU the sequential per-iteration overhead dominates this tiny
+        # [N,3,6] problem, so a while_loop with a step-size test beats the
+        # reference's fixed 10 iterations (g2o LM, Optimizer.cc:509-517) at
+        # identical fixed points.
+        def iter_cond(state):
+            i, _, delta = state
+            return (i < n_iters) & (delta > 1e-6)
 
-        T = jax.lax.fori_loop(0, n_iters, iter_body, T)
+        def iter_body(state):
+            i, T, _ = state
+            T_new = gn_iteration(T, active, use_huber)
+            delta = jnp.sum((T_new[:3] - T[:3]) ** 2)
+            return i + 1, T_new, delta
+
+        _, T, _ = jax.lax.while_loop(
+            iter_cond, iter_body, (jnp.int32(0), T, jnp.float32(jnp.inf))
+        )
         res, _ = _residuals_jacobians(cam, T, pts_w, obs, is_stereo)
         chi2 = _chi2(res, inv_sigma2, is_stereo)
         active = valid & (chi2 <= chi2_th)

@@ -56,7 +56,8 @@ def test_extractor_end_to_end(texture):
     cfg = OrbConfig(n_features=500)
     ext = build_extractor(cfg)
     feats = ext(jnp.asarray(texture))
-    assert feats.capacity == sum(cfg.level_budgets())
+    assert feats.capacity == cfg.feat_capacity()  # budget padded to 128 lanes
+    assert not np.asarray(feats.valid)[sum(cfg.level_budgets()):].any()
     n_valid = int(np.asarray(feats.valid).sum())
     assert n_valid > 300, f"only {n_valid} features on rich texture"
     xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
