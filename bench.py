@@ -33,7 +33,7 @@ def main():
     from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
     from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     width, height, fx = 320, 240, 260.0
 
     seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5)

@@ -246,6 +246,7 @@ class LoopCloser:
         self.config = config
         self.enabled = config.vocab is not None
         self.last_loop_kf = -999
+        self.n_big_changes = 0   # reference Map::InformNewBigChange (Map.cc:111)
         self._key = jax.random.PRNGKey(7)
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
@@ -264,4 +265,5 @@ class LoopCloser:
         if bool(det.found):
             m = self._jit_correct(m, kf_id, det)
             self.last_loop_kf = int(kf_id)
+            self.n_big_changes += 1
         return m

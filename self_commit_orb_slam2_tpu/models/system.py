@@ -105,6 +105,7 @@ class System:
                 functools.partial(relocalization.relocalize, cfg)
             )
         self._reloc_key = jax.random.PRNGKey(0)
+        self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -242,6 +243,23 @@ class System:
     def save_trajectory_kitti(self, path: str) -> None:
         _, poses = self.get_trajectory()
         traj_io.save_kitti(path, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """Keyframe-only trajectory (reference System::SaveKeyFrameTrajectoryTUM
+        src/System.cc:505-549): surviving keyframes' optimized poses."""
+        valid, ts, poses = jax.device_get(
+            (self.map.kf_valid, self.map.kf_timestamp, self.map.kf_Tcw)
+        )
+        traj_io.save_tum(path, ts[valid], poses[valid])
+
+    def map_changed(self) -> bool:
+        """Poll for big map changes — loop closures / global BA (reference
+        System::MapChanged src/System.cc:362-374 via Map::InformNewBigChange
+        src/Map.cc:111-119).  Returns True once per change."""
+        idx = self._loop_closer.n_big_changes if self._loop_closer else 0
+        changed = idx != self._last_big_change
+        self._last_big_change = idx
+        return changed
 
     def save_map(self, path: str) -> None:
         """Persist the map (the reference's System.h:146-149 SaveMap TODO,

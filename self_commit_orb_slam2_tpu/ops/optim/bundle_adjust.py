@@ -153,8 +153,8 @@ def bundle_adjust(
                   jnp.arange(P, dtype=jnp.int32)[None, None, :]
                   ).astype(kf_Tcw.dtype)           # [K, N, P]
 
-        def iteration(_, state):
-            kf_Tcw, pt_pos = state
+        def iteration(state):
+            i, kf_Tcw, pt_pos, _ = state
             res, J_c, J_p, is_stereo = _residuals(
                 cam, kf_Tcw, pt_pos, obs_pt, obs_uvr, active
             )
@@ -227,9 +227,21 @@ def bundle_adjust(
             dx_p = jnp.where(ok, dx_p, 0.0)
             kf_Tcw = jax.vmap(se3.update_left)(kf_Tcw, dx_c)
             pt_pos = pt_pos + dx_p.T
-            return kf_Tcw, pt_pos
+            # step size for the early-exit test (GN on a near-converged local
+            # window typically needs 2-4 iterations, and the sequential
+            # per-iteration cost dominates this problem size on TPU)
+            delta = jnp.sum(dx_c * dx_c) + jnp.sum(dx_p * dx_p)
+            return i + 1, kf_Tcw, pt_pos, delta
 
-        return jax.lax.fori_loop(0, n_iters, iteration, (kf_Tcw, pt_pos))
+        def cond(state):
+            i, _, _, delta = state
+            return (i < n_iters) & (delta > 1e-8)
+
+        _, kf_Tcw, pt_pos, _ = jax.lax.while_loop(
+            cond, iteration,
+            (jnp.int32(0), kf_Tcw, pt_pos, jnp.float32(jnp.inf)),
+        )
+        return kf_Tcw, pt_pos
 
     active0 = obs_valid & (obs_pt >= 0)
     state = (kf_Tcw, pt_pos)

@@ -42,7 +42,9 @@ def describe(
     ry = jnp.round(px * sa[:, None] + py * ca[:, None])
     gx = jnp.clip((xy[:, 0:1] + rx).astype(jnp.int32), 0, w - 1)
     gy = jnp.clip((xy[:, 1:2] + ry).astype(jnp.int32), 0, h - 1)
-    samples = blurred[gy, gx]  # [N, 512]
+    # 1D gather from the flattened image: lowers to a single vectorized
+    # gather instead of a 2D scatter-shaped one
+    samples = jnp.take(blurred.reshape(-1), gy * w + gx)  # [N, 512]
     a = samples[:, 0::2]
     b = samples[:, 1::2]
     bits = (a < b).astype(jnp.uint32)  # [N, 256]

@@ -30,6 +30,12 @@ class OrbConfig(NamedTuple):
     fast_threshold_lo: float = 7.0   # reference minThFAST
     cell_size: int = 16
     border: int = 16
+    # Fused Pallas FAST+NMS kernel (ops/orb/fast_pallas.py).  Device-time
+    # equal to the XLA formulation on v5e; enable on locally-attached TPUs.
+    # Off by default because a remote-attached (tunneled) TPU pays ~10ms per
+    # embedded custom call per DISPATCH, which hurts per-frame (non-scan)
+    # mode; inside lax.scan batches it costs nothing either way.
+    use_pallas_fast: bool = False
 
     def level_budgets(self) -> list[int]:
         """Geometric per-level feature budget (reference ctor :539-554)."""
@@ -77,10 +83,18 @@ def extract(image: jnp.ndarray, config: OrbConfig) -> OrbFeatures:
     budgets = config.level_budgets()
     scales = config.scale_factors()
 
+    use_pallas = config.use_pallas_fast and jax.default_backend() == "tpu"
     all_xy, all_resp, all_angle, all_level, all_desc, all_valid = [], [], [], [], [], []
     for lv, img in enumerate(levels):
-        hi = fast.nms3x3(fast.fast_response(img, config.fast_threshold_hi))
-        lo = fast.nms3x3(fast.fast_response(img, config.fast_threshold_lo))
+        if use_pallas:
+            from . import fast_pallas
+
+            hi, lo = fast_pallas.fast_nms_hi_lo(
+                img, config.fast_threshold_hi, config.fast_threshold_lo
+            )
+        else:
+            hi = fast.nms3x3(fast.fast_response(img, config.fast_threshold_hi))
+            lo = fast.nms3x3(fast.fast_response(img, config.fast_threshold_lo))
         kps = detect.select_keypoints(
             hi, lo, budgets[lv], cell=config.cell_size, border=config.border
         )
