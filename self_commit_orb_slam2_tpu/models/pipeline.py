@@ -230,41 +230,74 @@ def step_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
                       run_mapping)
 
 
+def _skip_info(m: MapState, carry: TrackCarry) -> StepInfo:
+    """StepInfo for a padded (invalid) frame: carry state echoed, no KF."""
+    ref_kf = jnp.maximum(m.n_kf - 1, 0)
+    return StepInfo(
+        Tcw=carry.Tcw,
+        n_inliers=jnp.int32(0),
+        created_kf=jnp.array(False),
+        state_ok=carry.state_ok,
+        n_keyframes=m.n_kf,
+        n_points=jnp.sum(m.pt_valid).astype(jnp.int32),
+        ref_kf=ref_kf,
+        ref_kf_Tcw=m.kf_Tcw[ref_kf],
+    )
+
+
 def batch_steps_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
                      images: jnp.ndarray, depths: jnp.ndarray,
-                     timestamps: jnp.ndarray,
+                     timestamps: jnp.ndarray, valid: jnp.ndarray,
                      localization_only: bool = False, run_mapping: bool = True):
     """Process a whole batch of frames in ONE device call (lax.scan).
 
     The throughput mode: on a remote-attached TPU each call costs ~100-150ms
     of transfer/sync overhead; scanning B frames inside the graph amortizes
-    it to O(1/B) per frame.  images/depths: [B, H, W]; returns stacked
-    StepInfo [B, ...].
+    it to O(1/B) per frame.  images/depths: [B, H, W]; valid: [B] bool —
+    padded (invalid) frames pass the carry through untouched, which lets the
+    host stream fixed-size chunks (one compiled program) over the transfer
+    pipeline and pad only the final chunk.  Returns stacked StepInfo [B, ...].
     """
 
     def body(state, inputs):
         m, carry = state
-        img, dep, ts = inputs
-        m, carry, info = step_rgbd(config, m, carry, img, dep, ts,
-                                   localization_only, run_mapping)
+        img, dep, ts, ok = inputs
+
+        def live(m, carry):
+            return step_rgbd(config, m, carry, img, dep, ts,
+                             localization_only, run_mapping)
+
+        def skip(m, carry):
+            return m, carry, _skip_info(m, carry)
+
+        m, carry, info = jax.lax.cond(ok, live, skip, m, carry)
         return (m, carry), info
 
-    (m, carry), infos = jax.lax.scan(body, (m, carry), (images, depths, timestamps))
+    (m, carry), infos = jax.lax.scan(
+        body, (m, carry), (images, depths, timestamps, valid))
     return m, carry, pack_infos(infos)
 
 
 def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
                        images_l: jnp.ndarray, images_r: jnp.ndarray,
-                       timestamps: jnp.ndarray,
+                       timestamps: jnp.ndarray, valid: jnp.ndarray,
                        localization_only: bool = False, run_mapping: bool = True):
     def body(state, inputs):
         m, carry = state
-        il, ir, ts = inputs
-        m, carry, info = step_stereo(config, m, carry, il, ir, ts,
-                                     localization_only, run_mapping)
+        il, ir, ts, ok = inputs
+
+        def live(m, carry):
+            return step_stereo(config, m, carry, il, ir, ts,
+                               localization_only, run_mapping)
+
+        def skip(m, carry):
+            return m, carry, _skip_info(m, carry)
+
+        m, carry, info = jax.lax.cond(ok, live, skip, m, carry)
         return (m, carry), info
 
-    (m, carry), infos = jax.lax.scan(body, (m, carry), (images_l, images_r, timestamps))
+    (m, carry), infos = jax.lax.scan(
+        body, (m, carry), (images_l, images_r, timestamps, valid))
     return m, carry, pack_infos(infos)
 
 

@@ -17,6 +17,7 @@ phase — same dataflow, no shared mutable state.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -105,6 +106,10 @@ class System:
                 functools.partial(relocalization.relocalize, cfg)
             )
         self._reloc_key = jax.random.PRNGKey(0)
+        # streaming chunk size for _track_batch (frames per device dispatch);
+        # small enough that upload(k+1) overlaps compute(k), large enough to
+        # amortize dispatch overhead over the tunnel
+        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "8"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:
@@ -142,46 +147,91 @@ class System:
         return out
 
     def track_batch_rgbd(self, images: np.ndarray, depths: np.ndarray,
-                         timestamps: np.ndarray) -> np.ndarray:
-        """Throughput mode: process a frame batch in one device call.
-        The first frame initializes the map if needed.  Returns [B, 4, 4]
-        per-frame poses (as tracked; use get_trajectory() for the
-        loop-corrected version)."""
+                         timestamps: np.ndarray,
+                         chunk: Optional[int] = None) -> np.ndarray:
+        """Throughput mode: process a frame batch as a stream of fixed-size
+        chunked device calls.  The first frame initializes the map if needed.
+        Returns [B, 4, 4] per-frame poses (as tracked; use get_trajectory()
+        for the loop-corrected version)."""
+        depths_mm = np.clip(np.asarray(depths) * 1e3, 0, 65535).astype(np.uint16)
+        return self._track_batch(
+            "rgbd",
+            (np.clip(images, 0, 255).astype(np.uint8), depths_mm),
+            timestamps, chunk,
+        )
+
+    def track_batch_stereo(self, images_l: np.ndarray, images_r: np.ndarray,
+                           timestamps: np.ndarray,
+                           chunk: Optional[int] = None) -> np.ndarray:
+        """Stereo throughput mode (see track_batch_rgbd)."""
+        return self._track_batch(
+            "stereo",
+            (np.clip(images_l, 0, 255).astype(np.uint8),
+             np.clip(images_r, 0, 255).astype(np.uint8)),
+            timestamps, chunk,
+        )
+
+    def _track_batch(self, sensor: str, arrays: tuple, timestamps: np.ndarray,
+                     chunk: Optional[int]) -> np.ndarray:
+        """Chunked streaming batch tracker.
+
+        Frames go to the device in fixed-size chunks (ONE compiled program for
+        every chunk; the final chunk is padded with in-graph-skipped frames).
+        Dispatch is asynchronous, so chunk k+1's host->device transfer
+        overlaps chunk k's compute — on a remote-attached TPU this hides most
+        of the wire time, which otherwise costs more than the tracking itself.
+        The per-frame summaries are concatenated ON DEVICE and fetched once at
+        the end (each fetched buffer costs a full round trip on a
+        remote-attached TPU; separate np.asarray calls measured ~75-100ms
+        each over the tunnel)."""
         i0 = 0
         if self.state == STATE_NOT_INITIALIZED:
-            self._track("rgbd", (jnp.asarray(images[0], jnp.float32),
-                                 jnp.asarray(depths[0], jnp.float32)),
-                        float(timestamps[0]))
+            first = tuple(jnp.asarray(a[0], jnp.float32) *
+                          (jnp.float32(1e-3) if a.dtype == np.uint16 else
+                           jnp.float32(1.0))
+                          for a in arrays)
+            self._track(sensor, first, float(timestamps[0]))
             i0 = 1
             if self.state == STATE_NOT_INITIALIZED:
                 raise RuntimeError("initialization failed on first frame")
-        if i0 >= len(images):
+        if i0 >= len(timestamps):
             return np.asarray(self.Tcw)[None]
         t0 = time.perf_counter()
-        batch = self._batches[("rgbd", self.localization_only)]
-        # ship images as uint8 (4x cheaper transfer; cast on device)
-        imgs_dev = jnp.asarray(np.clip(images[i0:], 0, 255).astype(np.uint8))
-        deps_mm = jnp.asarray(
-            np.clip(np.asarray(depths[i0:]) * 1e3, 0, 65535).astype(np.uint16)
-        )
-        self.map, self.carry, packed = batch(
-            self.map, self.carry, imgs_dev, deps_mm,
-            jnp.asarray(timestamps[i0:], jnp.float32),
-        )
-        # ONE host fetch of ONE buffer (each fetched buffer costs a full
-        # round trip on a remote-attached TPU; separate np.asarray calls
-        # measured ~75-100ms each over the tunnel)
-        infos = pipeline.unpack_infos(np.asarray(packed))
+        batch = self._batches[(sensor, self.localization_only)]
+        arrays = tuple(a[i0:] for a in arrays)
+        ts = np.asarray(timestamps[i0:], np.float32)
+        B = len(ts)
+        C = chunk or min(B, self._batch_chunk)
+        packed_parts = []
+        for k in range(0, B, C):
+            n_live = min(C, B - k)
+            pad = C - n_live
+
+            def up(x):
+                xs = x[k:k + n_live]
+                if pad:
+                    xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
+                return jnp.asarray(xs)
+
+            valid = np.zeros(C, bool)
+            valid[:n_live] = True
+            self.map, self.carry, packed = batch(
+                self.map, self.carry, *(up(a) for a in arrays), up(ts),
+                jnp.asarray(valid),
+            )
+            packed_parts.append(packed if not pad else packed[:n_live])
+        packed_all = (packed_parts[0] if len(packed_parts) == 1
+                      else jnp.concatenate(packed_parts, axis=0))
+        infos = pipeline.unpack_infos(np.asarray(packed_all))
         poses, refs, ref_poses, created, state_ok = (
             infos.Tcw, infos.ref_kf, infos.ref_kf_Tcw, infos.created_kf,
             infos.state_ok,
         )
-        B = len(poses)
         for b in range(B):
-            ts = float(timestamps[i0 + b])
-            self.trajectory.append((ts, poses[b]))
+            tsb = float(ts[b])
+            self.trajectory.append((tsb, poses[b]))
             self._rel_trajectory.append(
-                (ts, int(refs[b]), poses[b] @ np.linalg.inv(ref_poses[b]))
+                (tsb, int(refs[b]), poses[b] @ np.linalg.inv(ref_poses[b]))
             )
         self.Tcw = jnp.asarray(poses[-1])
         self.state = STATE_OK if bool(state_ok[-1]) else STATE_LOST
