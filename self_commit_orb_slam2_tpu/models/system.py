@@ -109,7 +109,7 @@ class System:
         # streaming chunk size for _track_batch (frames per device dispatch);
         # small enough that upload(k+1) overlaps compute(k), large enough to
         # amortize dispatch overhead over the tunnel
-        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "8"))
+        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "4"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:

@@ -15,12 +15,90 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class LevelKeypoints(NamedTuple):
     xy: jnp.ndarray        # [N, 2] float32 (x, y) in level-local pixel coords
     response: jnp.ndarray  # [N] float32
     valid: jnp.ndarray     # [N] bool
+
+
+class SlabKeypoints(NamedTuple):
+    """All levels' keypoints concatenated in per-level budget order."""
+
+    xy: jnp.ndarray        # [N, 2] float32, level-LOCAL pixel coords
+    response: jnp.ndarray  # [N] float32
+    level: jnp.ndarray     # [N] int32
+    valid: jnp.ndarray     # [N] bool
+
+
+def select_keypoints_slab(
+    score_hi: jnp.ndarray,
+    score_lo: jnp.ndarray,
+    budgets: list[int],
+    level_dims: list[tuple[int, int]],
+    cell: int = 16,
+    border: int = 16,
+) -> SlabKeypoints:
+    """Batched all-levels keypoint selection from a padded score slab.
+
+    score_hi/score_lo: [L, H0, W0] NMS'd FAST responses, every level padded to
+    level-0 size (padding region must score <= 0 or be masked by the per-level
+    in-bounds mask built here).  One cell-max + one top_k over all levels
+    replaces L sequential select_keypoints chains; rows beyond each level's
+    budget are sliced off statically so the concatenated layout is identical
+    to the per-level path.
+    """
+    L, H0, W0 = score_hi.shape
+
+    inb = np.zeros((L, H0, W0), bool)
+    for lv, (h, w) in enumerate(level_dims):
+        inb[lv, border:h - border, border:w - border] = True
+    mask = jnp.asarray(inb)
+    score_hi = jnp.where(mask, score_hi, 0.0)
+    score_lo = jnp.where(mask, score_lo, 0.0)
+
+    ph = (cell - H0 % cell) % cell
+    pw = (cell - W0 % cell) % cell
+    if ph or pw:
+        score_hi = jnp.pad(score_hi, ((0, 0), (0, ph), (0, pw)))
+        score_lo = jnp.pad(score_lo, ((0, 0), (0, ph), (0, pw)))
+    hh, ww = H0 + ph, W0 + pw
+    ncy, ncx = hh // cell, ww // cell
+
+    def per_cell(score):
+        cells = score.reshape(L, ncy, cell, ncx, cell).transpose(0, 1, 3, 2, 4)
+        flat = cells.reshape(L, ncy * ncx, cell * cell)
+        return jnp.max(flat, axis=-1), jnp.argmax(flat, axis=-1)
+
+    hi_best, hi_arg = per_cell(score_hi)
+    lo_best, lo_arg = per_cell(score_lo)
+    use_hi = hi_best > 0.0
+    best = jnp.where(use_hi, hi_best, lo_best)   # [L, ncells]
+    arg = jnp.where(use_hi, hi_arg, lo_arg)
+
+    kmax = min(max(budgets), ncy * ncx)
+    top, idx = jax.lax.top_k(best, kmax)          # [L, kmax] batched
+    sel_arg = jnp.take_along_axis(arg, idx, axis=1)
+    y = ((idx // ncx) * cell + sel_arg // cell).astype(jnp.float32)
+    x = ((idx % ncx) * cell + sel_arg % cell).astype(jnp.float32)
+
+    xs, ys, rs, vs, lvs = [], [], [], [], []
+    for lv, b in enumerate(budgets):
+        k = min(b, kmax)
+        pad = b - k
+        xs.append(jnp.pad(x[lv, :k], (0, pad)))
+        ys.append(jnp.pad(y[lv, :k], (0, pad)))
+        rs.append(jnp.pad(top[lv, :k], (0, pad)))
+        vs.append(jnp.pad(top[lv, :k] > 0.0, (0, pad)))
+        lvs.append(jnp.full(b, lv, jnp.int32))
+    return SlabKeypoints(
+        xy=jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=-1),
+        response=jnp.concatenate(rs),
+        level=jnp.concatenate(lvs),
+        valid=jnp.concatenate(vs),
+    )
 
 
 def select_keypoints(

@@ -30,11 +30,17 @@ ARC_LENGTH = 9  # FAST-9: need >= 9 contiguous brighter/darker ring pixels.
 
 
 def _ring_stack(image: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] -> [16, H, W] of ring-neighbor values (edge-replicated)."""
-    padded = jnp.pad(image, 3, mode="edge")
-    h, w = image.shape
+    """[..., H, W] -> [16, ..., H, W] of ring-neighbor values (edge-replicated).
+
+    Leading batch dims (e.g. a stacked pyramid slab [L, H, W]) are carried
+    through so all levels run as ONE op chain instead of L serial chains.
+    """
+    pad = [(0, 0)] * (image.ndim - 2) + [(3, 3), (3, 3)]
+    padded = jnp.pad(image, pad, mode="edge")
+    h, w = image.shape[-2:]
     return jnp.stack(
-        [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in RING_OFFSETS]
+        [padded[..., 3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w]
+         for dy, dx in RING_OFFSETS]
     )
 
 
@@ -43,23 +49,24 @@ def _rot16(bits: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def fast_response(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-9 corner response [H, W]; 0 where not a corner.
+    """Dense FAST-9 corner response [..., H, W]; 0 where not a corner.
 
     Response = max(sum of (ring - p - t) over the brighter set, sum of
     (p - t - ring) over the darker set) — the same arc-strength quantity
     cv::FAST's score approximates; used only for NMS/ranking so exact
     OpenCV score parity is not required.
     """
-    ring = _ring_stack(image)  # [16, H, W]
+    ring = _ring_stack(image)  # [16, ..., H, W]
     p = image[None]
     t = jnp.float32(threshold)
-    brighter = ring > p + t  # [16, H, W]
+    brighter = ring > p + t  # [16, ..., H, W]
     darker = ring < p - t
 
     def has_arc(mask: jnp.ndarray) -> jnp.ndarray:
         weights = (2 ** np.arange(16)).astype(np.uint32)
+        wshape = (16,) + (1,) * (mask.ndim - 1)
         bits = jnp.sum(
-            mask.astype(jnp.uint32) * jnp.asarray(weights)[:, None, None], axis=0
+            mask.astype(jnp.uint32) * jnp.asarray(weights).reshape(wshape), axis=0
         )
         acc = bits
         for k in range(1, ARC_LENGTH):
@@ -75,15 +82,17 @@ def fast_response(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     """Zero out non-maxima in each 3x3 neighborhood (ties keep the first in
-    raster order via strict-greater on later neighbors)."""
-    padded = jnp.pad(score, 1, mode="constant", constant_values=-1.0)
-    h, w = score.shape
+    raster order via strict-greater on later neighbors).  Accepts leading
+    batch dims ([..., H, W])."""
+    pad = [(0, 0)] * (score.ndim - 2) + [(1, 1), (1, 1)]
+    padded = jnp.pad(score, pad, mode="constant", constant_values=-1.0)
+    h, w = score.shape[-2:]
     keep = jnp.ones(score.shape, bool)
     for dy in range(3):
         for dx in range(3):
             if dy == 1 and dx == 1:
                 continue
-            neigh = padded[dy : dy + h, dx : dx + w]
+            neigh = padded[..., dy : dy + h, dx : dx + w]
             if dy < 1 or (dy == 1 and dx < 1):
                 keep &= score > neigh  # earlier raster neighbors: strict
             else:

@@ -90,6 +90,35 @@ def _moment_map(image: jnp.ndarray, kernel_key: str) -> jnp.ndarray:
     return out
 
 
+def keypoint_angles_slab(
+    slab: jnp.ndarray, xy: jnp.ndarray, level: jnp.ndarray
+) -> jnp.ndarray:
+    """Angles for keypoints across ALL pyramid levels in one gather.
+
+    slab:  [L, H0, W0] padded level stack (unblurred).
+    xy:    [N, 2] level-LOCAL integer keypoint positions.
+    level: [N] int32 pyramid level per keypoint.
+
+    Keypoints carry a >= 16px in-level border margin (detect.py) and the disc
+    radius is 15, so every patch tap lands on true level pixels — identical
+    moments to the per-level dense-map path, but as ONE [N, 961] gather plus
+    one [N, 961] x [961, 2] moment matmul (vs ~40 banded matmuls per level).
+    """
+    L, h, w = slab.shape
+    d = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    off = (d[:, None] * w + d[None, :]).reshape(-1)          # [961] static
+    xi = xy[:, 0].astype(jnp.int32)
+    yi = xy[:, 1].astype(jnp.int32)
+    base = level * (h * w) + yi * w + xi
+    lin = base[:, None] + jnp.asarray(off, jnp.int32)[None, :]
+    patches = jnp.take(slab.reshape(-1), lin)                # [N, 961]
+    kern = jnp.asarray(
+        np.stack([_DX.reshape(-1), _DY.reshape(-1)], axis=-1)
+    )                                                        # [961, 2]
+    m = jnp.dot(patches, kern, preferred_element_type=jnp.float32)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
 def keypoint_angles(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Angles (radians) for keypoints at integer positions xy [N, 2].
 

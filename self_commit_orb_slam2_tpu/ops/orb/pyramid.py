@@ -97,9 +97,29 @@ def gaussian_blur(image: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp
     descriptors (src/ORBextractor.cc:1629-1643, BORDER_REFLECT_101 — we use
     edge-replicate; the boundary difference is confined to the outer 3px,
     outside the keypoint border margin).
+
+    Accepts leading batch dims ([..., H, W]); a padded pyramid slab blurs in
+    one pair of (batched) matmuls.  Levels inside a slab must be edge-
+    replicate padded by >= 3px so the in-level boundary behavior matches the
+    per-level banded matrices.
     """
-    h, w = image.shape
+    h, w = image.shape[-2:]
     Bv = jnp.asarray(_blur_matrix(h, ksize, sigma))
     Bh = jnp.asarray(_blur_matrix(w, ksize, sigma))
-    out = jnp.dot(Bv, image, preferred_element_type=jnp.float32)
-    return jnp.dot(out, Bh.T, preferred_element_type=jnp.float32)
+    out = jnp.matmul(Bv, image, preferred_element_type=jnp.float32)
+    return jnp.matmul(out, Bh.T, preferred_element_type=jnp.float32)
+
+
+def stack_slab(levels: list[jnp.ndarray]) -> jnp.ndarray:
+    """Pad every level to level-0 size (edge-replicate) and stack: [L, H0, W0].
+
+    Edge replication keeps the padding free of fake gradients (FAST sees a
+    uniform field) and preserves in-level blur/descriptor values near each
+    level's true bottom/right edge.
+    """
+    H0, W0 = levels[0].shape
+    return jnp.stack([
+        jnp.pad(l, ((0, H0 - l.shape[0]), (0, W0 - l.shape[1])), mode="edge")
+        if l.shape != (H0, W0) else l
+        for l in levels
+    ])

@@ -1,0 +1,103 @@
+"""Per-keypoint patch sampling: orientation + rotated BRIEF in one fused pass.
+
+TPU-native redesign of the per-keypoint loops of IC_Angle and
+computeOrbDescriptor (reference src/ORBextractor.cc:108-170, :173-230).
+Random-access gathers are the slowest primitive on TPU (~8ns/element measured
+on v5e); this module instead
+
+  1. slices ONE aligned patch pair per keypoint — raw + blurred level image
+     stacked into a [2, L, H0, W0] array so a single vmapped dynamic_slice
+     fetches both — then
+  2. resolves every sample position inside the patch with one-hot matmuls
+     (build [N, S, PS] selector masks, contract on the MXU), which beats the
+     equivalent gather ~6x.
+
+Orientation moments come from the raw patch (reference runs IC_Angle on the
+unblurred level, descriptors on the blurred one, src/ORBextractor.cc:1619-1643)
+via the same disc-masked kernels as orientation.py; descriptor bits follow
+brief.py's convention exactly (bit = I(a) < I(b)).
+
+Exactness: keypoints carry a >= 16px in-level border (detect.py) and the
+pyramid slab is edge-replicate padded (pyramid.stack_slab), so patch taps that
+land past a level's true edge read replicated edge pixels — identical to the
+per-level describe()'s clip-to-edge semantics.  The disc (radius 15) always
+lies fully inside the 48-patch, so moments match the dense-map path bit-for-
+bit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .brief_pattern import BIT_PATTERN_31
+from .orientation import _DX, _DY, HALF_PATCH
+
+PATCH = 48  # covers the rotated pattern reach (15*sqrt(2) ~ 21.3 -> +-22)
+
+_PATTERN_XY = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2).astype(np.float32)
+_BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
+
+
+def orient_and_describe(
+    slab_raw: jnp.ndarray,
+    slab_blur: jnp.ndarray,
+    xy: jnp.ndarray,
+    level: jnp.ndarray,
+):
+    """Angles [N] and descriptors [N, 8] uint32 for all keypoints at once.
+
+    slab_raw/slab_blur: [L, H0, W0] padded pyramid stacks (see stack_slab).
+    xy: [N, 2] level-LOCAL keypoint positions; level: [N] int32.
+    """
+    L, H0, W0 = slab_raw.shape
+    ps = PATCH
+    assert H0 >= ps and W0 >= ps, "image smaller than the sampling patch"
+    iota = jnp.arange(ps, dtype=jnp.int32)
+
+    r = ps // 2 - 2
+    x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W0 - ps)
+    y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H0 - ps)
+
+    big = jnp.stack([slab_raw, slab_blur])  # [2, L, H0, W0]
+
+    def one(lv, ys, xs):
+        return jax.lax.dynamic_slice(big, (0, lv, ys, xs), (2, 1, ps, ps))[:, 0]
+
+    pat2 = jax.vmap(one)(level, y0, x0)  # [N, 2, ps, ps]
+    raw, blur = pat2[:, 0], pat2[:, 1]
+
+    # --- orientation: 31x31 disc moments from the raw patch --------------
+    d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.int32)
+    oy = (xy[:, 1].astype(jnp.int32) - y0)[:, None] + d[None, :]  # [N, 31]
+    ox = (xy[:, 0].astype(jnp.int32) - x0)[:, None] + d[None, :]
+    U = (oy[:, :, None] == iota).astype(jnp.float32)  # [N, 31, ps]
+    V = (ox[:, :, None] == iota).astype(jnp.float32)
+    t = jnp.einsum("nip,npq->niq", U, raw)
+    p31 = jnp.einsum("niq,njq->nij", t, V)            # [N, 31, 31]
+    m10 = jnp.sum(p31 * jnp.asarray(_DX), axis=(1, 2))
+    m01 = jnp.sum(p31 * jnp.asarray(_DY), axis=(1, 2))
+    angle = jnp.arctan2(m01, m10)
+
+    # --- rotated BRIEF from the blurred patch ----------------------------
+    px = jnp.asarray(_PATTERN_XY[:, 0])[None, :]
+    py = jnp.asarray(_PATTERN_XY[:, 1])[None, :]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    rx = jnp.round(px * ca[:, None] - py * sa[:, None])
+    ry = jnp.round(px * sa[:, None] + py * ca[:, None])
+    lx = jnp.clip((xy[:, 0:1] + rx).astype(jnp.int32) - x0[:, None], 0, ps - 1)
+    ly = jnp.clip((xy[:, 1:2] + ry).astype(jnp.int32) - y0[:, None], 0, ps - 1)
+    Us = (ly[:, :, None] == iota).astype(jnp.float32)  # [N, 512, ps]
+    Vs = (lx[:, :, None] == iota).astype(jnp.float32)
+    ts = jnp.einsum("nsp,npq->nsq", Us, blur)
+    samples = jnp.sum(ts * Vs, axis=-1)                # [N, 512]
+
+    a = samples[:, 0::2]
+    b = samples[:, 1::2]
+    bits = (a < b).astype(jnp.uint32)
+    words = bits.reshape(-1, 8, 32)
+    desc = jnp.sum(
+        words * jnp.asarray(_BIT_WEIGHTS)[None, None, :], axis=-1
+    ).astype(jnp.uint32)
+    return angle, desc
