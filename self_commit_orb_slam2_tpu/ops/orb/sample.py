@@ -60,12 +60,24 @@ def orient_and_describe(
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W0 - ps)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H0 - ps)
 
-    big = jnp.stack([slab_raw, slab_blur])  # [2, L, H0, W0]
-
-    def one(lv, ys, xs):
-        return jax.lax.dynamic_slice(big, (0, lv, ys, xs), (2, 1, ps, ps))[:, 0]
-
-    pat2 = jax.vmap(one)(level, y0, x0)  # [N, 2, ps, ps]
+    # Patch fetch: vmapped dynamic_slice lowers to a SEQUENTIAL per-keypoint
+    # while loop on TPU (one tiny fused slice per keypoint — measured
+    # ~0.6ms/frame at N=512).  A row gather is ONE vectorized op: fetch the
+    # ps patch rows of both slabs (rows are contiguous 128-lane reads), then
+    # select the ps columns with a one-hot matmul on the MXU.
+    N = xy.shape[0]
+    big2d = jnp.concatenate([slab_raw, slab_blur]).reshape(2 * L * H0, W0)
+    rowidx = (level[:, None] * H0 + y0[:, None] + iota[None, :])  # [N, ps]
+    rows2 = jnp.take(
+        big2d,
+        jnp.concatenate([rowidx, rowidx + L * H0], 1).reshape(-1),
+        axis=0,
+    ).reshape(N, 2, ps, W0)
+    colsel = (
+        jnp.arange(W0, dtype=jnp.int32)[None, :, None]
+        == (x0[:, None, None] + iota[None, None, :])
+    ).astype(jnp.float32)                                          # [N, W0, ps]
+    pat2 = jnp.einsum("ncpw,nwq->ncpq", rows2, colsel)
     raw, blur = pat2[:, 0], pat2[:, 1]
 
     # --- orientation: 31x31 disc moments from the raw patch --------------
