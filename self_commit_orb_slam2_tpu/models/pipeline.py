@@ -278,6 +278,78 @@ def batch_steps_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
     return m, carry, pack_infos(infos)
 
 
+def batch_steps_rgbd_packed(config: SlamConfig, m: MapState, carry: TrackCarry,
+                            buf: jnp.ndarray,
+                            localization_only: bool = False,
+                            run_mapping: bool = True):
+    """batch_steps_rgbd on ONE packed uint8 buffer [B, bytes_per_frame].
+
+    The remote tunnel pays ~2.7ms latency per TRANSFER; packing image (u8),
+    depth (u16 mm), timestamp (f32) and the valid flag into a single buffer
+    per chunk makes each chunk one transfer instead of four.  Layout per
+    frame: [H*W image u8][H*W*2 depth u16 LE][4 ts f32][4 valid u8].
+    """
+    cam = config.camera
+    H, W = int(cam.height), int(cam.width)
+    B = buf.shape[0]
+    images = buf[:, : H * W].reshape(B, H, W)
+    depths = jax.lax.bitcast_convert_type(
+        buf[:, H * W : 3 * H * W].reshape(B, H, W, 2), jnp.uint16
+    )
+    ts = jax.lax.bitcast_convert_type(
+        buf[:, 3 * H * W : 3 * H * W + 4], jnp.float32
+    )
+    valid = buf[:, 3 * H * W + 4] > 0
+    return batch_steps_rgbd(config, m, carry, images, depths, ts, valid,
+                            localization_only, run_mapping)
+
+
+def pack_rgbd_chunk(images_u8, depths_mm_u16, ts_f32, valid_b):
+    """Host-side packer matching batch_steps_rgbd_packed's layout (numpy)."""
+    import numpy as np
+
+    B, H, W = images_u8.shape
+    parts = [
+        images_u8.reshape(B, -1),
+        depths_mm_u16.astype("<u2").view(np.uint8).reshape(B, -1),
+        np.asarray(ts_f32, "<f4").view(np.uint8).reshape(B, 4),
+        np.repeat(valid_b.astype(np.uint8)[:, None], 4, axis=1),
+    ]
+    return np.concatenate(parts, axis=1)
+
+
+def batch_steps_stereo_packed(config: SlamConfig, m: MapState, carry: TrackCarry,
+                              buf: jnp.ndarray,
+                              localization_only: bool = False,
+                              run_mapping: bool = True):
+    """Stereo variant of batch_steps_rgbd_packed.  Layout per frame:
+    [H*W left u8][H*W right u8][4 ts f32][4 valid u8]."""
+    cam = config.camera
+    H, W = int(cam.height), int(cam.width)
+    B = buf.shape[0]
+    il = buf[:, : H * W].reshape(B, H, W)
+    ir = buf[:, H * W : 2 * H * W].reshape(B, H, W)
+    ts = jax.lax.bitcast_convert_type(
+        buf[:, 2 * H * W : 2 * H * W + 4], jnp.float32
+    )
+    valid = buf[:, 2 * H * W + 4] > 0
+    return batch_steps_stereo(config, m, carry, il, ir, ts, valid,
+                              localization_only, run_mapping)
+
+
+def pack_stereo_chunk(il_u8, ir_u8, ts_f32, valid_b):
+    import numpy as np
+
+    B = il_u8.shape[0]
+    parts = [
+        il_u8.reshape(B, -1),
+        ir_u8.reshape(B, -1),
+        np.asarray(ts_f32, "<f4").view(np.uint8).reshape(B, 4),
+        np.repeat(valid_b.astype(np.uint8)[:, None], 4, axis=1),
+    ]
+    return np.concatenate(parts, axis=1)
+
+
 def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
                        images_l: jnp.ndarray, images_r: jnp.ndarray,
                        timestamps: jnp.ndarray, valid: jnp.ndarray,

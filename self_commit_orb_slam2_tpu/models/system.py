@@ -83,12 +83,12 @@ class System:
         self._batches = {}
         for loc in (False, True):
             self._batches[("rgbd", loc)] = jax.jit(
-                functools.partial(pipeline.batch_steps_rgbd, cfg,
+                functools.partial(pipeline.batch_steps_rgbd_packed, cfg,
                                   localization_only=loc, run_mapping=enable_mapping),
                 donate_argnums=(0, 1),
             )
             self._batches[("stereo", loc)] = jax.jit(
-                functools.partial(pipeline.batch_steps_stereo, cfg,
+                functools.partial(pipeline.batch_steps_stereo_packed, cfg,
                                   localization_only=loc, run_mapping=enable_mapping),
                 donate_argnums=(0, 1),
             )
@@ -157,7 +157,7 @@ class System:
         return self._track_batch(
             "rgbd",
             (np.clip(images, 0, 255).astype(np.uint8), depths_mm),
-            timestamps, chunk,
+            timestamps, chunk, pipeline.pack_rgbd_chunk,
         )
 
     def track_batch_stereo(self, images_l: np.ndarray, images_r: np.ndarray,
@@ -168,15 +168,17 @@ class System:
             "stereo",
             (np.clip(images_l, 0, 255).astype(np.uint8),
              np.clip(images_r, 0, 255).astype(np.uint8)),
-            timestamps, chunk,
+            timestamps, chunk, pipeline.pack_stereo_chunk,
         )
 
     def _track_batch(self, sensor: str, arrays: tuple, timestamps: np.ndarray,
-                     chunk: Optional[int]) -> np.ndarray:
+                     chunk: Optional[int], pack) -> np.ndarray:
         """Chunked streaming batch tracker.
 
         Frames go to the device in fixed-size chunks (ONE compiled program for
         every chunk; the final chunk is padded with in-graph-skipped frames).
+        Each chunk's inputs are packed into ONE uint8 buffer — the tunnel
+        pays ~2.7ms latency per transfer, so one buffer beats four arrays.
         Dispatch is asynchronous, so chunk k+1's host->device transfer
         overlaps chunk k's compute — on a remote-attached TPU this hides most
         of the wire time, which otherwise costs more than the tracking itself.
@@ -207,17 +209,17 @@ class System:
             n_live = min(C, B - k)
             pad = C - n_live
 
-            def up(x):
+            def sl(x):
                 xs = x[k:k + n_live]
                 if pad:
                     xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
-                return jnp.asarray(xs)
+                return xs
 
             valid = np.zeros(C, bool)
             valid[:n_live] = True
+            buf = pack(*(sl(a) for a in arrays), sl(ts), valid)
             self.map, self.carry, packed = batch(
-                self.map, self.carry, *(up(a) for a in arrays), up(ts),
-                jnp.asarray(valid),
+                self.map, self.carry, jnp.asarray(buf),
             )
             packed_parts.append(packed if not pad else packed[:n_live])
         packed_all = (packed_parts[0] if len(packed_parts) == 1
