@@ -83,3 +83,21 @@ def test_reset():
     assert slam.state == 0
     slam.track_rgbd(seq.images[0], seq.depths[0], 0.0)
     assert slam.n_keyframes() == 1
+
+
+@pytest.mark.slow
+def test_rgbd_batch_matches_per_frame():
+    """track_batch_rgbd (packed chunked streaming) must produce the same
+    trajectory quality as per-frame tracking, including a padded tail chunk."""
+    n = 14
+    seq = generate_sequence(n_frames=n, width=320, height=240, seed=5)
+    cfg = make_config()
+    slam = System(cfg)
+    # chunk=4 with 13 tracked frames -> 3 full chunks + 1 padded chunk
+    slam.track_batch_rgbd(seq.images, seq.depths, seq.timestamps, chunk=4)
+    assert slam.state == STATE_OK
+    assert len(slam.trajectory) == n
+    poses_est = np.stack([p for _, p in slam.trajectory])
+    ate = ate_rmse(poses_est, seq.poses_gt)
+    assert ate < 0.05, f"batched ATE {ate:.3f}m too high"
+    assert slam.n_keyframes() >= 2
