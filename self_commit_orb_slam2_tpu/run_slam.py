@@ -20,12 +20,29 @@ import time
 import numpy as np
 
 
+def _default_vocab_path():
+    """Packaged vocabulary asset (the analogue of the reference's shipped
+    Vocabulary/ORBvoc.txt, loaded at startup in System.cc:77-89)."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "assets", "vocab_synthetic.npz")
+    return p if os.path.exists(p) else None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", choices=["tum", "kitti", "euroc"], default=None)
     ap.add_argument("--path", default=None)
     ap.add_argument("--settings", default=None)
-    ap.add_argument("--vocab", default=None, help="trained vocabulary .npz")
+    ap.add_argument("--vocab", default=None, help="trained vocabulary .npz "
+                    "(default: the packaged vocabulary, like the reference's "
+                    "ORBvoc.txt; see scripts/train_vocab.py)")
+    ap.add_argument("--no-vocab", action="store_true",
+                    help="disable BoW (no loop closing / relocalization)")
+    ap.add_argument("--sensor", choices=["auto", "mono", "stereo", "rgbd"],
+                    default="auto", help="override the dataset's native sensor "
+                    "(mono_* driver parity: reference Examples/Monocular)")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--output", default="trajectory_tum.txt")
@@ -41,38 +58,49 @@ def main(argv=None):
     from .ops.orb.extractor import OrbConfig
 
     vocab = None
-    if args.vocab:
+    if not args.no_vocab:
         from .ops.bow import load_vocabulary
 
-        vocab = load_vocabulary(args.vocab)
+        path = args.vocab or _default_vocab_path()
+        if path:
+            vocab = load_vocabulary(path)
+        elif args.vocab:
+            ap.error(f"vocabulary not found: {args.vocab}")
 
     if args.synthetic:
         from .utils.synthetic import generate_sequence
 
+        sensor = "rgbd" if args.sensor == "auto" else args.sensor
         seq = generate_sequence(n_frames=args.frames, width=320, height=240, seed=5)
         cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
                                   bf=26.0, width=320, height=240)
         cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
                          caps=Capacities(max_keyframes=128, max_points=32768),
                          tracking=TrackingConfig(max_frames_between_kf=10),
-                         sensor="rgbd", vocab=vocab)
+                         sensor=sensor, vocab=vocab)
         slam = System(cfg)
         if args.localization:
             slam.activate_localization_mode()
-        frames = [(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
-                  for i in range(args.frames)]
-        sensor = "rgbd"
+        if sensor == "mono":
+            frames = [(seq.images[i], float(seq.timestamps[i]))
+                      for i in range(args.frames)]
+        else:
+            frames = [(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
+                      for i in range(args.frames)]
         gt = seq.poses_gt
     elif args.dataset == "tum":
         from .utils.config_io import load_settings
         from .utils.datasets import TumRgbdDataset
 
-        cfg = load_settings(args.settings, sensor="rgbd", vocab=vocab)
+        sensor = "rgbd" if args.sensor == "auto" else args.sensor
+        cfg = load_settings(args.settings, sensor=sensor, vocab=vocab)
         ds = TumRgbdDataset(args.path,
                             depth_factor=1.0)  # config_io handles the factor
         slam = System(cfg)
-        frames = [(f.image, f.depth, f.timestamp) for f in ds]
-        sensor = "rgbd"
+        if sensor == "mono":  # reference Examples/Monocular/mono_tum.cc
+            frames = [(f.image, f.timestamp) for f in ds]
+        else:
+            frames = [(f.image, f.depth, f.timestamp) for f in ds]
         gt = None
     elif args.dataset == "kitti":
         from .utils.datasets import KittiOdometryDataset
@@ -84,41 +112,52 @@ def main(argv=None):
         cam = CameraParams.create(fx=cp["fx"], fy=cp["fy"], cx=cp["cx"],
                                   cy=cp["cy"], bf=cp.get("bf", 0.0),
                                   width=w, height=h)
+        sensor = "stereo" if args.sensor == "auto" else args.sensor
         cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000),
                          caps=Capacities(max_keyframes=256, max_points=131072,
                                          local_points=4096),
                          tracking=TrackingConfig(max_frames_between_kf=10),
-                         sensor="stereo", vocab=vocab)
+                         sensor=sensor, vocab=vocab)
         slam = System(cfg)
-        frames = [(ds[i].left, ds[i].right, ds[i].timestamp) for i in range(len(ds))]
-        sensor = "stereo"
+        if sensor == "mono":  # reference Examples/Monocular/mono_kitti.cc
+            frames = [(ds[i].left, ds[i].timestamp) for i in range(len(ds))]
+        else:
+            frames = [(ds[i].left, ds[i].right, ds[i].timestamp)
+                      for i in range(len(ds))]
         gt = None
     elif args.dataset == "euroc":
         from .utils.config_io import load_settings
         from .utils.datasets import EurocDataset
 
-        cfg = load_settings(args.settings, sensor="stereo", vocab=vocab)
+        sensor = "stereo" if args.sensor == "auto" else args.sensor
+        cfg = load_settings(args.settings, sensor=sensor, vocab=vocab)
         ds = EurocDataset(args.path)
         slam = System(cfg)
-        frames = [(ds[i].left, ds[i].right, ds[i].timestamp) for i in range(len(ds))]
-        sensor = "stereo"
+        if sensor == "mono":  # reference Examples/Monocular/mono_euroc.cc
+            frames = [(ds[i].left, ds[i].timestamp) for i in range(len(ds))]
+        else:
+            frames = [(ds[i].left, ds[i].right, ds[i].timestamp)
+                      for i in range(len(ds))]
         gt = None
     else:
         ap.error("need --synthetic or --dataset")
         return 2
 
-    track = slam.track_rgbd if sensor == "rgbd" else slam.track_stereo
+    track = {"rgbd": slam.track_rgbd, "stereo": slam.track_stereo,
+             "mono": slam.track_monocular}[sensor]
     t0 = time.time()
-    if args.batch and sensor == "rgbd":
+    if args.batch and sensor in ("rgbd", "stereo"):
         a = np.stack([f[0] for f in frames])
         b = np.stack([f[1] for f in frames])
         ts = np.array([f[2] for f in frames])
+        track_batch = (slam.track_batch_rgbd if sensor == "rgbd"
+                       else slam.track_batch_stereo)
         for s in range(0, len(frames), args.batch):
-            slam.track_batch_rgbd(a[s:s + args.batch], b[s:s + args.batch],
-                                  ts[s:s + args.batch])
+            track_batch(a[s:s + args.batch], b[s:s + args.batch],
+                        ts[s:s + args.batch])
     else:
-        for i, (a, b, ts) in enumerate(frames):
-            track(a, b, ts)
+        for i, f in enumerate(frames):
+            track(*f)
             if i % 50 == 0:
                 print(f"frame {i}/{len(frames)} state={slam.state} "
                       f"kf={slam.n_keyframes()}", file=sys.stderr)
