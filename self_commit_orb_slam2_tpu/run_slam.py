@@ -72,12 +72,18 @@ def main(argv=None):
 
         sensor = "rgbd" if args.sensor == "auto" else args.sensor
         seq = generate_sequence(n_frames=args.frames, width=320, height=240, seed=5)
+        # mono: no baseline, more features, tighter keyframe policy (the
+        # reference's mono init also extracts 2x features, Tracking.cc:387)
         cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
-                                  bf=26.0, width=320, height=240)
-        cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
-                         caps=Capacities(max_keyframes=128, max_points=32768),
-                         tracking=TrackingConfig(max_frames_between_kf=10),
-                         sensor=sensor, vocab=vocab)
+                                  bf=0.0 if sensor == "mono" else 26.0,
+                                  width=320, height=240)
+        cfg = SlamConfig(
+            camera=cam,
+            orb=OrbConfig(n_features=700 if sensor == "mono" else 500),
+            caps=Capacities(max_keyframes=128, max_points=32768),
+            tracking=TrackingConfig(max_frames_between_kf=8 if sensor == "mono" else 10,
+                                    kf_ref_ratio_stereo=0.8 if sensor == "mono" else 0.9),
+            sensor=sensor, vocab=vocab)
         slam = System(cfg)
         if args.localization:
             slam.activate_localization_mode()
@@ -178,9 +184,19 @@ def main(argv=None):
         from .utils.evaluation import ate_rmse, rpe_rmse
 
         _, est = slam.get_trajectory()
-        n = min(len(est), len(gt))
-        ate = ate_rmse(est[:n], gt[:n])
-        rpe_t, rpe_r = rpe_rmse(est[:n], gt[:n])
+        if len(est) < 3:
+            print("trajectory too short for ATE")
+            return 0
+        if sensor == "mono":
+            # mono starts at the two-frame init and is scale-ambiguous:
+            # align the tail window with Sim3 (TUM mono evaluation protocol)
+            gt_w = gt[len(gt) - len(est):]
+            ate = ate_rmse(est, gt_w, with_scale=True)
+            rpe_t, rpe_r = rpe_rmse(est, gt_w)
+        else:
+            n = min(len(est), len(gt))
+            ate = ate_rmse(est[:n], gt[:n])
+            rpe_t, rpe_r = rpe_rmse(est[:n], gt[:n])
         print(f"ATE RMSE: {ate*100:.2f} cm   RPE: {rpe_t*100:.2f} cm/frame")
     return 0
 

@@ -16,11 +16,14 @@ from ..ops.camera import CameraParams
 from ..ops.orb.extractor import OrbConfig
 
 
-def load_settings(path: str, sensor: str = "rgbd", width: int = 640,
+def load_settings(path: str | None, sensor: str = "rgbd", width: int = 640,
                   height: int = 480, vocab=None,
                   caps: Capacities | None = None) -> SlamConfig:
-    with open(path) as f:
-        text = f.read()
+    if path is None:  # defaults-only config (e.g. streaming driver smoke runs)
+        text = ""
+    else:
+        with open(path) as f:
+            text = f.read()
     # the reference files start with "%YAML:1.0" (OpenCV dialect)
     text = text.replace("%YAML:1.0", "").replace("!!opencv-matrix", "")
     data = yaml.safe_load(text) or {}
