@@ -30,11 +30,14 @@ class OrbConfig(NamedTuple):
     fast_threshold_lo: float = 7.0   # reference minThFAST
     cell_size: int = 16
     border: int = 16
-    # Fused Pallas FAST+NMS kernel (ops/orb/fast_pallas.py).  Device-time
-    # equal to the XLA formulation on v5e; enable on locally-attached TPUs.
-    # Off by default because a remote-attached (tunneled) TPU pays ~10ms per
-    # embedded custom call per DISPATCH, which hurts per-frame (non-scan)
-    # mode; inside lax.scan batches it costs nothing either way.
+    # Fused Pallas FAST+NMS kernel (ops/orb/fast_pallas.py).  With the
+    # all-levels slab there is ONE kernel call per frame (both thresholds +
+    # NMS with the image tile in VMEM): ~1.3ms/frame faster device-time than
+    # the XLA formulation in a single big scan on v5e.  Off by default
+    # because a remote-attached (tunneled) TPU pays extra per-DISPATCH cost
+    # for programs with embedded custom calls, which dominates at the small
+    # streaming chunk sizes that win overall; enable on locally-attached
+    # TPUs.  Ignored off-TPU.
     use_pallas_fast: bool = False
 
     def level_budgets(self) -> list[int]:
