@@ -139,8 +139,22 @@ def main(argv=None):
         cfg = load_settings(args.settings, sensor=sensor, vocab=vocab)
         ds = EurocDataset(args.path)
         slam = System(cfg)
+        # EuRoC raw images are unrectified: build the undistort-rectify maps
+        # from the settings' LEFT.*/RIGHT.* blocks and remap every pair, like
+        # the reference driver (Examples/Stereo/stereo_euroc.cc:45-80).
+        rect = None
+        if args.settings and sensor == "stereo":
+            from .utils.rectify import load_rectification_from_settings
+
+            rect = load_rectification_from_settings(args.settings)
+            if rect is None:
+                print("warning: no LEFT./RIGHT. rectification blocks in "
+                      "settings; using raw images", file=sys.stderr)
         if sensor == "mono":  # reference Examples/Monocular/mono_euroc.cc
             frames = [(ds[i].left, ds[i].timestamp) for i in range(len(ds))]
+        elif rect is not None:
+            frames = [(*rect.rectify(ds[i].left, ds[i].right), ds[i].timestamp)
+                      for i in range(len(ds))]
         else:
             frames = [(ds[i].left, ds[i].right, ds[i].timestamp)
                       for i in range(len(ds))]

@@ -112,3 +112,121 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert bool(jnp.sum(out.valid) > 100)
+
+
+def _padded_ring_graphs(rng, S, K, E_cap):
+    from tests.test_pose_graph import ring_problem
+
+    est_all, ei_all, ej_all, meas_all, valid_all, fixed_all, gt_all = \
+        [], [], [], [], [], [], []
+    for s in range(S):
+        gt_s, est_s, (ei, ej, meas, valid) = ring_problem(rng, K=K, drift=0.02)
+        E = len(ei)
+        pad = E_cap - E
+        ei_all.append(np.concatenate([ei, np.zeros(pad, np.int32)]))
+        ej_all.append(np.concatenate([ej, np.zeros(pad, np.int32)]))
+        meas_all.append(np.concatenate(
+            [meas, np.tile(np.array([0, 0, 0, 1, 0, 0, 0, 1], np.float32), (pad, 1))]))
+        valid_all.append(np.concatenate([valid, np.zeros(pad, bool)]))
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        est_all.append(est_s); fixed_all.append(fixed); gt_all.append(gt_s)
+    return (np.stack(est_all), np.stack(ei_all), np.stack(ej_all),
+            np.stack(meas_all), np.stack(valid_all), np.stack(fixed_all),
+            np.stack(gt_all))
+
+
+def test_distributed_pose_graph_matches_single_device(rng):
+    from self_commit_orb_slam2_tpu.ops.optim.pose_graph import optimize_pose_graph
+    from self_commit_orb_slam2_tpu.parallel.distributed_pose_graph import (
+        distributed_pose_graph,
+    )
+
+    S, K, E_cap = 2, 12, 16
+    est, ei, ej, meas, valid, fixed, _ = _padded_ring_graphs(rng, S, K, E_cap)
+    mesh = make_mesh(MeshSpec(n_map=2, n_blk=4))
+    S_out, mean_res = distributed_pose_graph(
+        mesh, jnp.asarray(est), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(meas), jnp.asarray(valid), jnp.asarray(fixed), n_iters=20,
+    )
+    assert np.all(np.asarray(mean_res) < 1e-2)
+    for s in range(S):
+        ref = optimize_pose_graph(
+            jnp.asarray(est[s]), jnp.asarray(ei[s]), jnp.asarray(ej[s]),
+            jnp.asarray(meas[s]), jnp.asarray(valid[s]), jnp.asarray(fixed[s]),
+            n_iters=20,
+        )
+        np.testing.assert_allclose(np.asarray(S_out)[s], np.asarray(ref.kf_sim3),
+                                   atol=2e-3)
+
+
+def test_distributed_pose_graph_blk_width_invariance(rng):
+    from self_commit_orb_slam2_tpu.parallel.distributed_pose_graph import (
+        distributed_pose_graph,
+    )
+
+    S, K, E_cap = 1, 10, 16
+    est, ei, ej, meas, valid, fixed, _ = _padded_ring_graphs(rng, S, K, E_cap)
+    outs = []
+    for blk in (1, 2, 4):
+        mesh = make_mesh(MeshSpec(n_map=1, n_blk=blk))
+        S_out, _ = distributed_pose_graph(
+            mesh, jnp.asarray(est), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(meas), jnp.asarray(valid), jnp.asarray(fixed), n_iters=5,
+        )
+        outs.append(np.asarray(S_out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-4)
+
+
+def _mean_reproj_err(config, m):
+    from self_commit_orb_slam2_tpu.ops.camera import project
+
+    K = m.kf_Tcw.shape[0]
+    P = m.pt_pos.shape[0]
+    pid = jnp.clip(m.kf_obs_pt, 0, P - 1)
+    active = (m.kf_obs_pt >= 0) & m.kf_feat_valid & m.kf_valid[:, None] \
+        & m.pt_valid[pid]
+    pc = jnp.einsum("kij,knj->kni", m.kf_Tcw[:, :3, :3], m.pt_pos[pid]) \
+        + m.kf_Tcw[:, None, :3, 3]
+    uv, z = jax.vmap(lambda p: project(config.camera, p))(pc)
+    err = jnp.sum((uv - m.kf_xy) ** 2, -1)
+    w = (active & (z > 0.05)).astype(jnp.float32)
+    return float(jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0))
+
+
+def test_multi_map_joint_refine(rng):
+    from self_commit_orb_slam2_tpu.models.config import Capacities, SlamConfig
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.parallel.multi_map import joint_refine
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                              bf=26.0, width=320, height=240)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=300),
+                     caps=Capacities(max_keyframes=16, max_points=4096),
+                     sensor="rgbd")
+    maps = []
+    for seed in (3, 4):
+        seq = generate_sequence(n_frames=12, width=320, height=240, seed=seed)
+        slam = System(cfg)
+        for i in range(12):
+            slam.track_rgbd(seq.images[i], seq.depths[i],
+                            float(seq.timestamps[i]))
+        # perturb poses + points: joint_refine must pull them back
+        m = slam.map
+        K = m.kf_Tcw.shape[0]
+        noise = jnp.asarray(rng.normal(0, 5e-3, (K, 6)).astype(np.float32))
+        kf_new = jax.vmap(se3.update_left)(m.kf_Tcw, noise)
+        kf_new = kf_new.at[0].set(m.kf_Tcw[0])
+        pt_new = m.pt_pos + jnp.asarray(
+            rng.normal(0, 5e-3, m.pt_pos.shape).astype(np.float32))
+        maps.append(m._replace(kf_Tcw=kf_new, pt_pos=pt_new))
+
+    before = [_mean_reproj_err(cfg, m) for m in maps]
+    mesh = make_mesh(MeshSpec(n_map=2, n_blk=4))
+    refined = joint_refine(mesh, cfg, maps, ba_iters=10)
+    after = [_mean_reproj_err(cfg, m) for m in refined]
+    for b, a in zip(before, after):
+        assert a < b * 0.2, (b, a)
