@@ -35,17 +35,20 @@ def timeit(name, fn, *args, n=20, **kw):
 
 
 def main():
-    width, height, fx = 320, 240, 260.0
+    import argparse
+    width = int(os.environ.get("PW", 320)); height = int(os.environ.get("PH", 240))
+    nfeat = int(os.environ.get("PF", 500))
+    fx = 260.0 * width / 320
     seq = generate_sequence(n_frames=8, width=width, height=height, seed=5)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
-    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=nfeat),
                      caps=Capacities(max_keyframes=64, max_points=16384,
                                      local_points=1024),
                      tracking=TrackingConfig(max_frames_between_kf=10),
                      sensor="rgbd")
 
-    print("backend:", jax.devices()[0])
+    print("backend:", jax.devices()[0], f"{width}x{height}/{nfeat}feat")
     img = jnp.asarray(seq.images[0].astype(np.float32))
     dep = jnp.asarray(seq.depths[0].astype(np.float32))
 
@@ -85,11 +88,13 @@ if __name__ == "__main__" and "--mapping" not in sys.argv:
 
 
 def profile_mapping():
-    width, height, fx = 320, 240, 260.0
+    width = int(os.environ.get("PW", 320)); height = int(os.environ.get("PH", 240))
+    nfeat = int(os.environ.get("PF", 500))
+    fx = 260.0 * width / 320
     seq = generate_sequence(n_frames=8, width=width, height=height, seed=5)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
-    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=nfeat),
                      caps=Capacities(max_keyframes=64, max_points=16384,
                                      local_points=1024),
                      tracking=TrackingConfig(max_frames_between_kf=10),

@@ -10,3 +10,7 @@ configuration).
 """
 
 from .mesh import make_mesh, MeshSpec  # noqa: F401
+from .distributed_ba import distributed_bundle_adjust  # noqa: F401
+from .distributed_pose_graph import distributed_pose_graph  # noqa: F401
+from .multi_map import joint_refine, stack_maps  # noqa: F401
+from .fleet import FleetTracker, make_fleet_mesh  # noqa: F401

@@ -230,3 +230,48 @@ def test_multi_map_joint_refine(rng):
     after = [_mean_reproj_err(cfg, m) for m in refined]
     for b, a in zip(before, after):
         assert a < b * 0.2, (b, a)
+
+
+def test_fleet_tracker_eight_streams(rng):
+    """8 streams on the 8-device mesh must each track as well as a
+    single-stream System run (same config, same sequences)."""
+    from self_commit_orb_slam2_tpu.models.config import Capacities, SlamConfig
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.parallel.fleet import FleetTracker, make_fleet_mesh
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                              bf=26.0, width=320, height=240)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=300),
+                     caps=Capacities(max_keyframes=16, max_points=4096),
+                     sensor="rgbd")
+    n_frames, S = 10, 8
+    seqs = [generate_sequence(n_frames=n_frames, width=320, height=240,
+                              seed=10 + s) for s in range(S)]
+    fleet = FleetTracker(cfg, n_streams=S, mesh=make_fleet_mesh(8))
+    fleet.initialize(np.stack([q.images[0] for q in seqs]),
+                     np.stack([q.depths[0] for q in seqs]),
+                     np.array([q.timestamps[0] for q in seqs]))
+    a = np.stack([q.images[1:] for q in seqs])
+    b = np.stack([q.depths[1:] for q in seqs])
+    ts = np.stack([q.timestamps[1:] for q in seqs])
+    poses = fleet.track_chunk(a, b, ts)
+    assert poses.shape == (S, n_frames - 1, 4, 4)
+
+    ates = []
+    for s in range(S):
+        est = np.concatenate([np.eye(4, dtype=np.float32)[None], poses[s]])
+        ates.append(ate_rmse(est, seqs[s].poses_gt))
+    assert max(ates) < 0.02, ates
+
+    # stream 0 must agree with a solo System run on the same sequence
+    solo = System(cfg, enable_loop_closing=False)
+    solo.track_batch_rgbd(seqs[0].images, seqs[0].depths, seqs[0].timestamps)
+    _, est_solo = solo.get_trajectory()
+    est0 = np.concatenate([np.eye(4, dtype=np.float32)[None], poses[0]])
+    n = min(len(est_solo), len(est0))
+    diff = np.abs(est_solo[:n] - est0[:n]).max()
+    assert diff < 5e-2, diff
+    assert int(np.asarray(fleet.n_keyframes())[0]) >= 1
