@@ -33,15 +33,21 @@ def main():
     from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
     from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
-    width, height, fx = 320, 240, 260.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if args else 120
+    # --size=ref: the reference's own scale (TUM 640x480, 1000 features)
+    ref_scale = "--size=ref" in sys.argv
+    if ref_scale:
+        width, height, fx, n_feat = 640, 480, 520.0, 1000
+    else:
+        width, height, fx, n_feat = 320, 240, 260.0, 500
 
     seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
     cfg = SlamConfig(
         camera=cam,
-        orb=OrbConfig(n_features=500),
+        orb=OrbConfig(n_features=n_feat),
         caps=Capacities(max_keyframes=64, max_points=16384, local_points=1024),
         tracking=TrackingConfig(max_frames_between_kf=10),
         sensor="rgbd",
@@ -70,7 +76,7 @@ def main():
     ate = ate_rmse(est, seq.poses_gt[: len(est)])
 
     print(json.dumps({
-        "metric": "rgbd_tracking_fps_320x240_500feat",
+        "metric": f"rgbd_tracking_fps_{width}x{height}_{n_feat}feat",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),

@@ -108,8 +108,11 @@ def read_pose(inp: BinaryIO):
 
 
 def serve(slam, inp: BinaryIO, out: Optional[BinaryIO] = None,
-          max_frames: Optional[int] = None) -> int:
-    """Track frames from `inp` until end of stream; returns #frames tracked."""
+          max_frames: Optional[int] = None, rectifier=None) -> int:
+    """Track frames from `inp` until end of stream; returns #frames tracked.
+
+    `rectifier`: optional utils.rectify.StereoRectifier applied to stereo
+    pairs before tracking (reference ros_stereo.cc do_rectify mode)."""
     n = 0
     track = {"mono": slam.track_monocular, "stereo": slam.track_stereo,
              "rgbd": slam.track_rgbd}
@@ -118,6 +121,8 @@ def serve(slam, inp: BinaryIO, out: Optional[BinaryIO] = None,
         if rec is None:
             break
         sensor, ts, arrays = rec
+        if rectifier is not None and sensor == "stereo":
+            arrays = rectifier.rectify(*arrays)
         Tcw = track[sensor](*arrays, ts)
         if out is not None:
             write_pose(out, ts, int(slam.state), Tcw)
@@ -139,6 +144,9 @@ def main(argv=None):
     ap.add_argument("--poses", action="store_true",
                     help="write pose records to stdout / the socket")
     ap.add_argument("--output", default=None, help="TUM trajectory at exit")
+    ap.add_argument("--rectify", action="store_true",
+                    help="undistort-rectify stereo pairs from the settings' "
+                    "LEFT./RIGHT. blocks (reference ros_stereo.cc do_rectify)")
     args = ap.parse_args(argv)
 
     from .models.system import System
@@ -153,6 +161,11 @@ def main(argv=None):
         vocab = load_vocabulary(vpath)
     cfg = load_settings(args.settings, sensor=args.sensor, vocab=vocab)
     slam = System(cfg)
+    rectifier = None
+    if args.rectify and args.settings:
+        from .utils.rectify import load_rectification_from_settings
+
+        rectifier = load_rectification_from_settings(args.settings)
 
     if args.listen:
         import socket
@@ -168,7 +181,7 @@ def main(argv=None):
         inp = sys.stdin.buffer
         out = sys.stdout.buffer if args.poses else None
 
-    n = serve(slam, inp, out)
+    n = serve(slam, inp, out, rectifier=rectifier)
     print(f"tracked {n} frames, {slam.n_keyframes()} keyframes", file=sys.stderr)
     if args.output:
         slam.save_trajectory_tum(args.output)

@@ -56,3 +56,28 @@ def test_stream_serve_tracks_frames():
     ts, state, Tcw = recs[-1]
     assert state == STATE_OK
     assert np.all(np.isfinite(Tcw))
+
+
+def test_stream_serve_stereo_with_rectifier():
+    """serve() with a StereoRectifier (identity maps) matches plain stereo —
+    the reference ros_stereo.cc do_rectify mode."""
+    from test_slam_stereo import make_stereo_config
+
+    from self_commit_orb_slam2_tpu.utils.rectify import StereoRectifier
+
+    n = 5
+    seq = generate_sequence(n_frames=n, width=320, height=240, seed=5,
+                            stereo_baseline=0.1)
+    frames = io.BytesIO()
+    for i in range(n):
+        stream_slam.write_frame(frames, "stereo", float(seq.timestamps[i]),
+                                seq.images[i], seq.right_images[i])
+    frames.seek(0)
+    K = np.array([[260.0, 0, 160], [0, 260.0, 120], [0, 0, 1]])
+    P = np.concatenate([K, np.zeros((3, 1))], 1)
+    ident = {"K": K, "D": np.zeros(4), "R": np.eye(3), "P": P}
+    rect = StereoRectifier(ident, ident, 320, 240)
+    slam = System(make_stereo_config())
+    n_tracked = stream_slam.serve(slam, frames, rectifier=rect)
+    assert n_tracked == n
+    assert slam.state == STATE_OK

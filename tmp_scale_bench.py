@@ -7,14 +7,14 @@ from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
 from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
 
 W, H, FX = 640, 480, 520.0
-n_frames = 100
+n_frames = 161
 seq = generate_sequence(n_frames=n_frames, width=W, height=H, fx=FX, seed=5)
 cam = CameraParams.create(fx=FX, fy=FX, cx=W/2, cy=H/2, bf=FX*0.1, width=W, height=H)
 cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=1000),
                  caps=Capacities(max_keyframes=64, max_points=16384, local_points=1024),
                  tracking=TrackingConfig(max_frames_between_kf=10), sensor="rgbd")
 slam = System(cfg)
-nw = 4
+nw = 8
 B = (n_frames - 1) // nw
 slam.track_batch_rgbd(seq.images[:1+B], seq.depths[:1+B], seq.timestamps[:1+B])
 samples = []
