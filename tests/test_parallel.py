@@ -275,3 +275,45 @@ def test_fleet_tracker_eight_streams(rng):
     diff = np.abs(est_solo[:n] - est0[:n]).max()
     assert diff < 5e-2, diff
     assert int(np.asarray(fleet.n_keyframes())[0]) >= 1
+
+
+def test_refine_maps_cli(rng, tmp_path):
+    """The offline refine CLI round-trips checkpoints and reduces reproj err."""
+    from self_commit_orb_slam2_tpu.models.checkpoint import load_map, save_map
+    from self_commit_orb_slam2_tpu.models.config import Capacities, SlamConfig
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.refine_maps import main
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                              bf=26.0, width=320, height=240)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=300),
+                     caps=Capacities(max_keyframes=16, max_points=4096),
+                     sensor="rgbd")
+    paths = []
+    for seed in (5, 6):
+        seq = generate_sequence(n_frames=10, width=320, height=240, seed=seed)
+        slam = System(cfg)
+        for i in range(10):
+            slam.track_rgbd(seq.images[i], seq.depths[i],
+                            float(seq.timestamps[i]))
+        m = slam.map
+        noise = jnp.asarray(rng.normal(0, 4e-3, m.pt_pos.shape).astype(np.float32))
+        m = m._replace(pt_pos=m.pt_pos + noise)
+        p = str(tmp_path / f"m{seed}.npz")
+        save_map(p, m)
+        paths.append(p)
+
+    # settings yaml carrying the camera intrinsics
+    yml = tmp_path / "cam.yaml"
+    yml.write_text("%YAML:1.0\nCamera.fx: 260.0\nCamera.fy: 260.0\n"
+                   "Camera.cx: 160.0\nCamera.cy: 120.0\nCamera.bf: 26.0\n"
+                   "Camera.width: 320\nCamera.height: 240\n")
+    before = [_mean_reproj_err(cfg, load_map(p)) for p in paths]
+    rc = main(paths + ["--settings", str(yml), "--mesh", "2x4"])
+    assert rc == 0
+    after = [_mean_reproj_err(cfg, load_map(p[:-4] + ".refined.npz"))
+             for p in paths]
+    for b, a in zip(before, after):
+        assert a < b * 0.5, (b, a)
