@@ -81,6 +81,14 @@ class TrackingConfig(NamedTuple):
     # RunGlobalBundleAdjustment).  Disable for workloads where observations
     # deliberately encode non-physical map edits (tests), or very large maps.
     enable_loop_gba: bool = True
+    # Covisibility-consistency chaining: a loop candidate's covisibility
+    # group must be re-detected in this many consecutive keyframes before
+    # Sim3 correction is applied (reference mnCovisibilityConsistencyTh=3,
+    # LoopClosing.cc:56, groups :229-305).  Default 1 = accept on first
+    # geometrically-verified detection: our Sim3 gate (RANSAC + GN polish,
+    # >=20 inliers) already provides the false-positive protection the
+    # reference gets from chaining; set 3 for reference-faithful behavior.
+    loop_consistency_th: int = 1
 
 
 class SlamConfig(NamedTuple):

