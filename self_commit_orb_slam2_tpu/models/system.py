@@ -240,7 +240,12 @@ class System:
         dt = (time.perf_counter() - t0) / max(B, 1)
         self.timings.extend([dt] * B)
         if created.any() and self._loop_closer is not None:
-            self.map = self._loop_closer.process(self.map, self.map.n_kf - 1)
+            # run loop detection for EVERY keyframe created during the batch
+            # (the reference's LoopClosing thread consumes its queue one KF
+            # at a time, LoopClosing.cc:114-130) — each created frame's KF id
+            # is that step's keyframe count - 1
+            for kf_id in np.asarray(infos.n_keyframes)[np.asarray(created)] - 1:
+                self.map = self._loop_closer.process(self.map, int(kf_id))
         return poses
 
     def activate_localization_mode(self) -> None:

@@ -121,3 +121,21 @@ def test_loop_consistency_chaining(spin_seq, spin_vocab):
     # machine must have recorded a chained group before firing
     if fired_at is None:
         pytest.skip("no loop detected on this sequence under th=2")
+
+
+@pytest.mark.slow
+def test_loop_detected_in_batched_mode(spin_seq, spin_vocab):
+    """track_batch_rgbd must run loop detection for every keyframe created
+    inside a batch, not only the last one."""
+    slam = System(make_config(spin_vocab))
+    n = len(spin_seq.images)
+    mid = 72 - 12
+    for i in range(mid):
+        slam.track_rgbd(spin_seq.images[i], spin_seq.depths[i],
+                        float(spin_seq.timestamps[i]))
+    D = np.eye(4, dtype=np.float64)
+    D[:3, 3] = [0.12, 0.0, -0.08]
+    _displace_old_map(slam, slam.n_keyframes() - 2, D)
+    slam.track_batch_rgbd(spin_seq.images[mid:], spin_seq.depths[mid:],
+                          spin_seq.timestamps[mid:])
+    assert slam._loop_closer.last_loop_kf > 0, "no loop closure in batch mode"
