@@ -317,3 +317,17 @@ def test_refine_maps_cli(rng, tmp_path):
              for p in paths]
     for b, a in zip(before, after):
         assert a < b * 0.5, (b, a)
+
+
+def test_global_mesh_and_hosts_helpers():
+    from self_commit_orb_slam2_tpu.parallel import hosts
+
+    hosts.initialize()  # single-process no-op
+    mesh = hosts.global_mesh(n_map=2)
+    assert mesh.shape == {"map": 2, "blk": 4}
+    assert hosts.is_coordinator()
+    with pytest.raises(ValueError):
+        hosts.global_mesh(n_map=3)
+    r1 = hosts.fold_in_process(5)
+    r2 = hosts.fold_in_process(5)
+    assert r1.integers(0, 1000) == r2.integers(0, 1000)
