@@ -47,7 +47,7 @@ class FleetTracker:
 
     def __init__(self, config: SlamConfig, n_streams: int,
                  sensor: str = "rgbd", mesh: Optional[Mesh] = None,
-                 enable_mapping: bool = True):
+                 enable_mapping: bool = True, localization_only: bool = False):
         self.config = config
         self.sensor = sensor
         self.mesh = mesh if mesh is not None else make_fleet_mesh()
@@ -72,7 +72,9 @@ class FleetTracker:
                 mi = jax.tree.map(lambda x: x[i], m)
                 ci = jax.tree.map(lambda x: x[i], carry)
                 mi, ci, pk = batch_fn(config, mi, ci, buf[i],
-                                      run_mapping=enable_mapping)
+                                      localization_only=localization_only,
+                                      run_mapping=enable_mapping
+                                      and not localization_only)
                 outs.append((mi, ci, pk))
             return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
@@ -110,6 +112,56 @@ class FleetTracker:
             jax.tree.map(lambda *y: jnp.stack(y), *xs), self._sharding)
         self.map = stack(maps)
         self.carry = stack(carries)
+
+    def initialize_localization(self, prebuilt_map, a0: np.ndarray,
+                                b0: np.ndarray, ts0: np.ndarray) -> np.ndarray:
+        """Localization-serving bring-up: every stream relocalizes its first
+        frame against a PREBUILT map (models/checkpoint.py; the reference's
+        Localization Mode on a frozen map, Tracking.cc:523-629) instead of
+        building its own.  `prebuilt_map`: one MapState (shared by all
+        streams) or a list of per-stream MapStates.  Returns [S] success
+        flags; failed streams start at identity and will dead-reckon until
+        their content overlaps the map."""
+        import functools as _ft
+
+        from ..models import frame as frame_mod
+        from ..models.relocalization import relocalize
+
+        if self.config.vocab is None:
+            raise ValueError("localization bring-up needs a vocabulary")
+        if isinstance(prebuilt_map, ms.MapState):  # NamedTuple IS a tuple
+            prebuilt_map = [prebuilt_map] * self.n_streams
+        mk = jax.jit(_ft.partial(
+            frame_mod.make_frame_rgbd if self.sensor == "rgbd"
+            else frame_mod.make_frame_stereo, self.config))
+        rl = jax.jit(_ft.partial(relocalize, self.config))
+        key = jax.random.PRNGKey(3)
+        maps, carries, ok = [], [], []
+        for s in range(self.n_streams):
+            m = prebuilt_map[s]
+            frame = mk(jnp.asarray(a0[s], jnp.float32),
+                       jnp.asarray(b0[s], jnp.float32))
+            key, sub = jax.random.split(key)
+            reloc = rl(m, frame, sub)
+            carry = pipeline.init_carry(self.config, frame)
+            success = bool(reloc.success)
+            carry = carry._replace(
+                Tcw=jnp.where(success, reloc.Tcw, jnp.eye(4)),
+                last_obs_pt=jnp.where(success, reloc.obs_pt,
+                                      carry.last_obs_pt),
+                frame_id=jnp.int32(1),
+                state_ok=jnp.array(success),
+            )
+            maps.append(m)
+            carries.append(carry)
+            ok.append(success)
+            self.trajectories[s].append(
+                (float(ts0[s]), np.asarray(carry.Tcw)))
+        stack = lambda xs: jax.device_put(
+            jax.tree.map(lambda *y: jnp.stack(y), *xs), self._sharding)
+        self.map = stack(maps)
+        self.carry = stack(carries)
+        return np.asarray(ok)
 
     def track_chunk(self, a: np.ndarray, b: np.ndarray,
                     ts: np.ndarray) -> np.ndarray:

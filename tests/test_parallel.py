@@ -331,3 +331,70 @@ def test_global_mesh_and_hosts_helpers():
     r1 = hosts.fold_in_process(5)
     r2 = hosts.fold_in_process(5)
     assert r1.integers(0, 1000) == r2.integers(0, 1000)
+
+
+def test_fleet_localization_serving(rng):
+    """Localization fleet: streams relocalize their first frame against a
+    PREBUILT map and track it frozen (no keyframes/points added)."""
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.bow import train_vocabulary
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig, extract
+    from self_commit_orb_slam2_tpu.parallel.fleet import FleetTracker, make_fleet_mesh
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    seq = generate_sequence(n_frames=20, width=320, height=240, seed=5)
+    descs = []
+    for i in range(0, 20, 4):
+        f = extract(jnp.asarray(seq.images[i]), OrbConfig(n_features=300))
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    vocab = train_vocabulary(np.concatenate(descs), k=8, L=3, seed=2)
+
+    cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                              bf=26.0, width=320, height=240)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=500),
+                     caps=Capacities(max_keyframes=32, max_points=8192,
+                                     local_points=1024),
+                     tracking=TrackingConfig(max_frames_between_kf=8),
+                     sensor="rgbd", vocab=vocab)
+    builder = System(cfg)
+    for i in range(16):
+        builder.track_rgbd(seq.images[i], seq.depths[i], float(i) / 30.0)
+    m = builder.map
+    n_kf, n_pt = builder.n_keyframes(), builder.n_points()
+
+    S = 2
+    starts = [4, 8]
+    fleet = FleetTracker(cfg, n_streams=S, mesh=make_fleet_mesh(2),
+                         localization_only=True)
+    ok = fleet.initialize_localization(
+        m,
+        np.stack([seq.images[s] for s in starts]),
+        np.stack([seq.depths[s] for s in starts]),
+        np.array([0.0, 0.0]),
+    )
+    assert ok.all(), "relocalization bring-up failed"
+    # initial poses must match ground truth (expressed in the map's world
+    # frame, which is anchored at the builder's first camera)
+    T0_inv = np.linalg.inv(seq.poses_gt[0])
+    for i, s in enumerate(starts):
+        T0 = fleet.trajectories[i][0][1]
+        expect = seq.poses_gt[s] @ T0_inv
+        err = np.linalg.norm(T0[:3, 3] - expect[:3, 3])
+        assert err < 0.05, err
+
+    B = 6
+    a = np.stack([seq.images[s + 1 : s + 1 + B] for s in starts])
+    b = np.stack([seq.depths[s + 1 : s + 1 + B] for s in starts])
+    ts = np.stack([np.arange(1, B + 1) / 30.0 for _ in starts])
+    poses = fleet.track_chunk(a, b, ts)
+    for i, s in enumerate(starts):
+        for j in range(B):
+            expect = seq.poses_gt[s + 1 + j] @ T0_inv
+            err = np.linalg.norm(poses[i, j][:3, 3] - expect[:3, 3])
+            assert err < 0.05, (i, j, err)
+    # frozen map: no keyframes or points added on any stream
+    assert np.all(np.asarray(fleet.map.n_kf) == n_kf)
+    assert int(np.asarray(jnp.sum(fleet.map.pt_valid, axis=1)).max()) == n_pt
