@@ -41,8 +41,12 @@ def main():
         width, height, fx, n_feat = 640, 480, 520.0, 1000
     else:
         width, height, fx, n_feat = 320, 240, 260.0, 500
+    # --sensor=stereo benches the stereo pipeline (row-band matching instead
+    # of RGB-D depth lookup); default rgbd matches the TUM configuration
+    sensor = "stereo" if "--sensor=stereo" in sys.argv else "rgbd"
 
-    seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5)
+    seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5,
+                            stereo_baseline=0.1 if sensor == "stereo" else 0.0)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
     cfg = SlamConfig(
@@ -50,9 +54,12 @@ def main():
         orb=OrbConfig(n_features=n_feat),
         caps=Capacities(max_keyframes=64, max_points=16384, local_points=1024),
         tracking=TrackingConfig(max_frames_between_kf=10),
-        sensor="rgbd",
+        sensor=sensor,
     )
     slam = System(cfg)
+    second = seq.right_images if sensor == "stereo" else seq.depths
+    track_batch = (slam.track_batch_stereo if sensor == "stereo"
+                   else slam.track_batch_rgbd)
 
     # equal-shape windows: the first compiles (same batch length = same XLA
     # program), the rest are timed repetitions — the remote tunnel's
@@ -60,14 +67,14 @@ def main():
     # actual capability) and keep all samples in `extra`.
     n_windows = 4
     B = (n_frames - 1) // n_windows
-    slam.track_batch_rgbd(seq.images[: 1 + B], seq.depths[: 1 + B],
-                          seq.timestamps[: 1 + B])  # init frame + B
+    track_batch(seq.images[: 1 + B], second[: 1 + B],
+                seq.timestamps[: 1 + B])  # init frame + B
     samples = []
     for w in range(1, n_windows):
         s = 1 + w * B
         t0 = time.perf_counter()
-        slam.track_batch_rgbd(seq.images[s : s + B], seq.depths[s : s + B],
-                              seq.timestamps[s : s + B])
+        track_batch(seq.images[s : s + B], second[s : s + B],
+                    seq.timestamps[s : s + B])
         samples.append(B / (time.perf_counter() - t0))
     fps = max(samples)
     dt = B / fps
@@ -76,7 +83,7 @@ def main():
     ate = ate_rmse(est, seq.poses_gt[: len(est)])
 
     print(json.dumps({
-        "metric": f"rgbd_tracking_fps_{width}x{height}_{n_feat}feat",
+        "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
