@@ -61,67 +61,88 @@ def match_stereo(
     coarse_ok = (best_dist < th_orb) & valid_l
 
     # --- SAD subpixel refinement on octave-level images (reference :1220+) ---
+    # Every keypoint needs ONLY its own octave, so instead of 8 per-level
+    # passes of vmapped dynamic_slice patch fetches (a sequential per-keypoint
+    # loop on TPU, ~8ns/element), the pyramids are stacked into padded slabs
+    # and the 11 patch rows are fetched with ONE level-indexed row gather;
+    # column windows resolve with one-hot matmuls on the MXU (same pattern as
+    # ops/orb/sample.orient_and_describe).
     j = jnp.where(coarse_ok, best_idx, 0)
     ur0 = xy_r[j, 0]
     inv_scale = 1.0 / scale_factors
-    n_levels = len(pyramid_l)
     nl = xy_l.shape[0]
+    win = 2 * SAD_HALF + 1          # 11
+    wr = win + 2 * SLIDE            # 21-wide right strip
 
-    sad_best = jnp.full(nl, jnp.inf, jnp.float32)
-    inc_best = jnp.zeros(nl, jnp.float32)
-    win = 2 * SAD_HALF + 1
+    from ..orb.pyramid import stack_slab
 
-    def gather_patch(img, cx, cy, half_w, half_h):
-        """[2*half_h+1, 2*half_w+1] patch centered at integer (cx, cy)."""
-        h, w = img.shape
-        y0 = jnp.clip(cy - half_h, 0, h - (2 * half_h + 1))
-        x0 = jnp.clip(cx - half_w, 0, w - (2 * half_w + 1))
-        return jax.lax.dynamic_slice(img, (y0, x0), (2 * half_h + 1, 2 * half_w + 1))
+    if isinstance(pyramid_l, (list, tuple)):
+        level_dims = [tuple(img.shape) for img in pyramid_l]
+        slab_l = stack_slab(list(pyramid_l))
+        slab_r = stack_slab(list(pyramid_r))
+    else:  # pre-stacked [L, H0, W0] slabs of identical padded geometry
+        slab_l, slab_r = pyramid_l, pyramid_r
+        level_dims = None
+    L, H0, W0 = slab_l.shape
+    if level_dims is None:
+        from ..orb.pyramid import level_shapes
 
-    for lv in range(n_levels):
-        img_l = pyramid_l[lv]
-        img_r = pyramid_r[lv]
-        # scaled coords at this octave
-        su = (xy_l[:, 0] * inv_scale[lv]).astype(jnp.int32)
-        sv = (xy_l[:, 1] * inv_scale[lv]).astype(jnp.int32)
-        sur = (ur0 * inv_scale[lv]).astype(jnp.int32)
+        # slabs are edge-replicate padded; reconstruct per-level extents from
+        # the scale chain (matches build_pyramid's rounding)
+        level_dims = level_shapes(H0, W0, L, float(1.0 / inv_scale[1]) if L > 1 else 1.2)
+    lh = jnp.asarray([d[0] for d in level_dims], jnp.int32)
+    lw = jnp.asarray([d[1] for d in level_dims], jnp.int32)
 
-        patch_l = jax.vmap(lambda cx, cy: gather_patch(img_l, cx, cy, SAD_HALF, SAD_HALF))(
-            su, sv
-        )  # [N, 11, 11]
-        strip_r = jax.vmap(
-            lambda cx, cy: gather_patch(img_r, cx, cy, SAD_HALF + SLIDE, SAD_HALF)
-        )(sur, sv)  # [N, 11, 11 + 2*SLIDE]
+    su = (xy_l[:, 0] * inv_scale[level_l]).astype(jnp.int32)
+    sv = (xy_l[:, 1] * inv_scale[level_l]).astype(jnp.int32)
+    sur = (ur0 * inv_scale[level_l]).astype(jnp.int32)
+    y0 = jnp.clip(sv - SAD_HALF, 0, jnp.maximum(lh[level_l] - win, 0))
+    xl0 = jnp.clip(su - SAD_HALF, 0, jnp.maximum(lw[level_l] - win, 0))
+    xr0 = jnp.clip(sur - SAD_HALF - SLIDE, 0, jnp.maximum(lw[level_l] - wr, 0))
 
-        # center-normalize like the reference (IL - IL(center), :1255 region)
-        patch_l = patch_l - patch_l[:, SAD_HALF, SAD_HALF][:, None, None]
-        center_r = strip_r[:, SAD_HALF, SAD_HALF + SLIDE]
-        # 11 sliding windows: SAD(incR) for incR in [-5, 5]
-        sads = []
-        for inc in range(2 * SLIDE + 1):
-            window = jax.lax.dynamic_slice_in_dim(strip_r, inc, win, axis=2)
-            window = window - window[:, SAD_HALF, SAD_HALF][:, None, None]
-            sads.append(jnp.sum(jnp.abs(patch_l - window), axis=(1, 2)))
-        sads = jnp.stack(sads, axis=1)  # [N, 11]
-        k = jnp.argmin(sads, axis=1)
-        smin = jnp.min(sads, axis=1)
-        # parabola fit on (k-1, k, k+1) (reference :1262-1270)
-        km = jnp.clip(k - 1, 0, 2 * SLIDE)
-        kp = jnp.clip(k + 1, 0, 2 * SLIDE)
-        s_m = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
-        s_p = jnp.take_along_axis(sads, kp[:, None], 1)[:, 0]
-        denom = s_m + s_p - 2.0 * smin
-        delta = jnp.where(
-            denom > 1e-6, (s_m - s_p) / (2.0 * jnp.maximum(denom, 1e-6)), 0.0
-        )
-        delta = jnp.clip(delta, -1.0, 1.0)
-        inc = (k.astype(jnp.float32) - SLIDE) + delta
-        at_level = level_l == lv
-        sad_best = jnp.where(at_level, smin, sad_best)
-        inc_best = jnp.where(at_level, inc, inc_best)
+    iota = jnp.arange(win, dtype=jnp.int32)
+    big2d = jnp.concatenate([slab_l, slab_r]).reshape(2 * L * H0, W0)
+    rowidx = level_l[:, None] * H0 + y0[:, None] + iota[None, :]       # [N, 11]
+    rows2 = jnp.take(
+        big2d, jnp.concatenate([rowidx, rowidx + L * H0], 1).reshape(-1), axis=0
+    ).reshape(nl, 2, win, W0)
+    wiota = jnp.arange(W0, dtype=jnp.int32)
+    colsel_l = (wiota[None, :, None]
+                == (xl0[:, None, None] + iota[None, None, :])).astype(jnp.float32)
+    patch_l = jnp.einsum("npw,nwq->npq", rows2[:, 0], colsel_l)        # [N, 11, 11]
+    iota_r = jnp.arange(wr, dtype=jnp.int32)
+    colsel_r = (wiota[None, :, None]
+                == (xr0[:, None, None] + iota_r[None, None, :])).astype(jnp.float32)
+    strip_r = jnp.einsum("npw,nwq->npq", rows2[:, 1], colsel_r)        # [N, 11, 21]
+
+    # center-normalize like the reference (IL - IL(center), :1255 region)
+    patch_l = patch_l - patch_l[:, SAD_HALF, SAD_HALF][:, None, None]
+    # 11 sliding windows: SAD over centers xr0 + SAD_HALF + inc
+    sads = []
+    for inc in range(2 * SLIDE + 1):
+        window = jax.lax.dynamic_slice_in_dim(strip_r, inc, win, axis=2)
+        window = window - window[:, SAD_HALF, SAD_HALF][:, None, None]
+        sads.append(jnp.sum(jnp.abs(patch_l - window), axis=(1, 2)))
+    sads = jnp.stack(sads, axis=1)  # [N, 11]
+    k = jnp.argmin(sads, axis=1)
+    sad_best = jnp.min(sads, axis=1)
+    # parabola fit on (k-1, k, k+1) (reference :1262-1270)
+    km = jnp.clip(k - 1, 0, 2 * SLIDE)
+    kp = jnp.clip(k + 1, 0, 2 * SLIDE)
+    s_m = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
+    s_p = jnp.take_along_axis(sads, kp[:, None], 1)[:, 0]
+    denom = s_m + s_p - 2.0 * sad_best
+    delta = jnp.where(
+        denom > 1e-6, (s_m - s_p) / (2.0 * jnp.maximum(denom, 1e-6)), 0.0
+    )
+    delta = jnp.clip(delta, -1.0, 1.0)
 
     scale_l = scale_factors[level_l]
-    ur_refined = scale_l * ((ur0 * inv_scale[level_l]).astype(jnp.int32).astype(jnp.float32) + inc_best)
+    # window k's center column is xr0 + SAD_HALF + k (== sur + k - SLIDE when
+    # the strip is not clipped at the image border, the reference's case)
+    ur_refined = scale_l * (
+        (xr0 + SAD_HALF + k).astype(jnp.float32) + delta
+    )
     disparity = xy_l[:, 0] - ur_refined
     disparity_ok = (disparity > 1e-3) & (disparity <= max_d)
     ok = coarse_ok & disparity_ok
