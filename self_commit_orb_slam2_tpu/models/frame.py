@@ -15,9 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.camera import CameraParams, backproject, undistort_points
+from ..ops.orb.pyramid import level_shapes
 from ..ops.matching import stereo as stereo_ops
 from ..ops.orb import extractor as orb_extractor
-from ..ops.orb.pyramid import build_pyramid
 from .config import SlamConfig
 
 
@@ -75,15 +75,19 @@ def make_frame_stereo(
     """Stereo frame: extract both eyes, row-band match for depth (reference
     Frame stereo ctor src/Frame.cc:108-237)."""
     cam = config.camera
-    feats_l = orb_extractor.extract(image_l, config.orb)
-    feats_r = orb_extractor.extract(image_r, config.orb)
-    pyr_l = build_pyramid(image_l, config.orb.n_levels, config.orb.scale_factor)
-    pyr_r = build_pyramid(image_r, config.orb.n_levels, config.orb.scale_factor)
+    # extraction exposes its padded pyramid slab so the SAD matcher does not
+    # rebuild the pyramid (reference builds it once per eye too, Frame ctor)
+    feats_l, slab_l = orb_extractor.extract(image_l, config.orb,
+                                            return_slab=True)
+    feats_r, slab_r = orb_extractor.extract(image_r, config.orb,
+                                            return_slab=True)
+    dims = level_shapes(int(image_l.shape[0]), int(image_l.shape[1]),
+                        config.orb.n_levels, config.orb.scale_factor)
     sm = stereo_ops.match_stereo(
         feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid,
         feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-        pyr_l, pyr_r, cam.bf, cam.baseline * 2.0,
-        jnp.asarray(config.orb.scale_factors()),
+        slab_l, slab_r, cam.bf, cam.baseline * 2.0,
+        jnp.asarray(config.orb.scale_factors()), level_dims=dims,
     )
     xy_und = undistort_points(cam, feats_l.xy) if cam.has_distortion else feats_l.xy
     return FrameData(

@@ -36,6 +36,7 @@ def match_stereo(
     bf: jnp.ndarray,
     min_z: jnp.ndarray,
     scale_factors: jnp.ndarray,
+    level_dims: Sequence[tuple] | None = None,
 ) -> StereoMatches:
     """Match left keypoints to right keypoints along epipolar rows.
 
@@ -81,15 +82,11 @@ def match_stereo(
         slab_l = stack_slab(list(pyramid_l))
         slab_r = stack_slab(list(pyramid_r))
     else:  # pre-stacked [L, H0, W0] slabs of identical padded geometry
+        if level_dims is None:
+            raise ValueError("pre-stacked slabs need explicit level_dims "
+                             "(pyramid.level_shapes)")
         slab_l, slab_r = pyramid_l, pyramid_r
-        level_dims = None
     L, H0, W0 = slab_l.shape
-    if level_dims is None:
-        from ..orb.pyramid import level_shapes
-
-        # slabs are edge-replicate padded; reconstruct per-level extents from
-        # the scale chain (matches build_pyramid's rounding)
-        level_dims = level_shapes(H0, W0, L, float(1.0 / inv_scale[1]) if L > 1 else 1.2)
     lh = jnp.asarray([d[0] for d in level_dims], jnp.int32)
     lw = jnp.asarray([d[1] for d in level_dims], jnp.int32)
 

@@ -80,7 +80,8 @@ class OrbFeatures(NamedTuple):
         return self.xy.shape[0]
 
 
-def extract(image: jnp.ndarray, config: OrbConfig) -> OrbFeatures:
+def extract(image: jnp.ndarray, config: OrbConfig,
+            return_slab: bool = False):
     """Extract ORB features from a grayscale [H, W] float32 image (0..255).
 
     All-levels-batched design: the pyramid is padded into ONE [L, H0, W0]
@@ -88,6 +89,10 @@ def extract(image: jnp.ndarray, config: OrbConfig) -> OrbFeatures:
     chain, and orientation/BRIEF sample every keypoint of every level in one
     gather.  On a latency-bound TPU per-frame step this replaces ~8 serial
     per-level chains with one (measured 2.7ms -> ~1ms at 320x240/500feat).
+
+    return_slab=True additionally returns the padded [L, H0, W0] pyramid
+    slab (consumers like the stereo SAD matcher reuse it instead of
+    rebuilding the pyramid).
     """
     levels = pyramid.build_pyramid(image, config.n_levels, config.scale_factor)
     budgets = config.level_budgets()
@@ -149,6 +154,8 @@ def extract(image: jnp.ndarray, config: OrbConfig) -> OrbFeatures:
             desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
             valid=jnp.pad(feats.valid, (0, pad)),  # padding stays invalid
         )
+    if return_slab:
+        return feats, slab
     return feats
 
 
