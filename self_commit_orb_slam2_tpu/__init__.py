@@ -29,5 +29,19 @@ import jax as _jax
 # heavy integer work (Hamming popcount matching) is unaffected by this flag.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused per-frame/batched XLA programs take
+# minutes to compile at VGA scale; caching them on disk makes every process
+# after the first start in seconds (override dir via JAX_COMPILATION_CACHE_DIR,
+# disable with SLAM_NO_COMPILE_CACHE=1).
+import os as _os
+
+if not _os.environ.get("SLAM_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/slam_tpu_xla")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 __version__ = "0.1.0"
 

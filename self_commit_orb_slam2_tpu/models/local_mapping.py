@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
-from ..ops.matching.hamming import hamming_distance
 from . import map_state as ms
 from .config import SlamConfig
 from .map_state import MapState
