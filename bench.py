@@ -35,15 +35,30 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_frames = int(args[0]) if args else 120
+    # --dataset=DIR: bench on a real TUM RGB-D directory instead of the
+    # synthetic scene — the moment real data is mountable, ATE-parity
+    # numbers drop out of the same harness with zero new code.
+    dataset_dir = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                        if a.startswith("--dataset=")), None)
+    if dataset_dir:
+        return bench_dataset(dataset_dir, n_frames)
     # --size=ref: the reference's own scale (TUM 640x480, 1000 features)
+    # --size=kitti: KITTI stereo geometry (1241x376, 2000 features; the
+    #   reference's bar there is 10 fps, Examples/Stereo/KITTI00-02.yaml:22)
     ref_scale = "--size=ref" in sys.argv
-    if ref_scale:
+    kitti_scale = "--size=kitti" in sys.argv
+    bar_fps = 30.0
+    if kitti_scale:
+        width, height, fx, n_feat = 1241, 376, 718.9, 2000
+        bar_fps = 10.0
+    elif ref_scale:
         width, height, fx, n_feat = 640, 480, 520.0, 1000
     else:
         width, height, fx, n_feat = 320, 240, 260.0, 500
     # --sensor=stereo benches the stereo pipeline (row-band matching instead
     # of RGB-D depth lookup); default rgbd matches the TUM configuration
-    sensor = "stereo" if "--sensor=stereo" in sys.argv else "rgbd"
+    sensor = "stereo" if ("--sensor=stereo" in sys.argv or kitti_scale) \
+        else "rgbd"
 
     seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5,
                             stereo_baseline=0.1 if sensor == "stereo" else 0.0)
@@ -62,9 +77,10 @@ def main():
                    else slam.track_batch_rgbd)
 
     # equal-shape windows: the first compiles (same batch length = same XLA
-    # program), the rest are timed repetitions — the remote tunnel's
-    # throughput varies run to run, so report the best window (the device's
-    # actual capability) and keep all samples in `extra`.
+    # program), the rest are timed repetitions.  The HEADLINE number is the
+    # MEDIAN window (honest steady-state throughput over the remote tunnel);
+    # the max (device capability between tunnel hiccups) and all samples stay
+    # in `extra`.
     n_windows = 4
     B = (n_frames - 1) // n_windows
     track_batch(seq.images[: 1 + B], second[: 1 + B],
@@ -76,7 +92,7 @@ def main():
         track_batch(seq.images[s : s + B], second[s : s + B],
                     seq.timestamps[s : s + B])
         samples.append(B / (time.perf_counter() - t0))
-    fps = max(samples)
+    fps = float(np.median(samples))
     dt = B / fps
 
     _, est = slam.get_trajectory()
@@ -86,18 +102,75 @@ def main():
         "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps / bar_fps, 3),
         "extra": {
             "ate_rmse_m": round(float(ate), 4),
             "n_frames": n_frames,
             "keyframes": slam.n_keyframes(),
             "map_points": slam.n_points(),
             "median_ms": round(dt / B * 1e3, 2),
+            "fps_max": round(max(samples), 1),
             "fps_samples": [round(s, 1) for s in samples],
             "backend": str(jax.devices()[0]),
             "tracking_lost": slam.state != 1,
             "mode": "batched",
         },
+    }))
+
+
+def bench_dataset(root, n_frames):
+    """Bench on a real TUM RGB-D sequence directory (rgb.txt/depth.txt +
+    groundtruth.txt when present)."""
+    import jax
+    import numpy as np
+
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.utils.config_io import load_settings
+    from self_commit_orb_slam2_tpu.utils.datasets import TumRgbdDataset
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+
+    ds = TumRgbdDataset(root)
+    yaml = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--settings=")), None)
+    if yaml:
+        cfg = load_settings(yaml, sensor="rgbd")
+    else:
+        first = ds[0]
+        h, w = first.image.shape
+        from self_commit_orb_slam2_tpu.ops.camera import CameraParams
+        from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+
+        cam = CameraParams.create(fx=525.0, fy=525.0, cx=w / 2, cy=h / 2,
+                                  bf=525.0 * 0.075, width=w, height=h)
+        cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=1000),
+                         caps=Capacities(), tracking=TrackingConfig(),
+                         sensor="rgbd")
+    slam = System(cfg)
+    n = min(n_frames, len(ds))
+    imgs, deps, ts = [], [], []
+    for i in range(n):
+        f = ds[i]
+        imgs.append(f.image)
+        deps.append(f.depth)
+        ts.append(f.timestamp)
+    imgs, deps, ts = np.stack(imgs), np.stack(deps), np.asarray(ts)
+    t0 = time.perf_counter()
+    slam.track_batch_rgbd(imgs, deps, ts)
+    fps = n / (time.perf_counter() - t0)
+    extra = {"n_frames": n, "keyframes": slam.n_keyframes(),
+             "map_points": slam.n_points(),
+             "backend": str(jax.devices()[0]), "dataset": root}
+    gt = getattr(ds, "groundtruth", None)
+    if gt is not None:
+        est_ts, est = slam.get_trajectory()
+        extra["ate_rmse_m"] = round(float(ate_rmse(est, gt(est_ts))), 4)
+    print(json.dumps({
+        "metric": "rgbd_tracking_fps_dataset",
+        "value": round(fps, 2), "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3), "extra": extra,
     }))
 
 

@@ -32,6 +32,13 @@ class Capacities(NamedTuple):
     # to the same ATE on the synthetic benchmark at ~half the device time.
     ba_iters_pre: int = 3
     ba_iters_post: int = 5
+    # Cull-archive ring capacity: retired keyframes log (seq, parent_seq,
+    # Tcp) here so trajectory entries referencing them stay resolvable after
+    # their slot is reused (reference keeps bad KFs alive with mTcp,
+    # src/KeyFrame.cc:571-724).
+    cull_log: int = 2048
+    # Persisted loop-edge capacity (KeyFrame::AddLoopEdge analogue)
+    loop_log: int = 32
 
 
 class TrackingConfig(NamedTuple):
@@ -81,6 +88,10 @@ class TrackingConfig(NamedTuple):
     # RunGlobalBundleAdjustment).  Disable for workloads where observations
     # deliberately encode non-physical map edits (tests), or very large maps.
     enable_loop_gba: bool = True
+    # Keyframe-cull redundancy threshold: a covisible KF whose points are
+    # observed by >= 3 other keyframes at this fraction or more is retired
+    # (reference LocalMapping::KeyFrameCulling 0.9, src/LocalMapping.cc:952).
+    kf_cull_redundancy: float = 0.9
     # Covisibility-consistency chaining: a loop candidate's covisibility
     # group must be re-detected in this many consecutive keyframes before
     # Sim3 correction is applied (reference mnCovisibilityConsistencyTh=3,

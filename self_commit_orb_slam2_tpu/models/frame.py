@@ -86,7 +86,7 @@ def make_frame_stereo(
     sm = stereo_ops.match_stereo(
         feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid,
         feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
-        slab_l, slab_r, cam.bf, cam.baseline * 2.0,
+        slab_l, slab_r, cam.bf, cam.baseline,  # minZ = b (reference Frame.cc:1033)
         jnp.asarray(config.orb.scale_factors()), level_dims=dims,
     )
     xy_und = undistort_points(cam, feats_l.xy) if cam.has_distortion else feats_l.xy

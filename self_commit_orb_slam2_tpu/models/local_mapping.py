@@ -21,42 +21,96 @@ from .config import SlamConfig
 from .map_state import MapState
 
 
+MAX_OBS_TABLE = 12  # observation descriptors per point entering the median
+
+
 def refresh_observed_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     """Update descriptor / normal / scale band of points observed by a new KF.
 
     Reference: LocalMapping::ProcessNewKeyFrame (src/LocalMapping.cc:198-259)
     calls MapPoint::ComputeDistinctiveDescriptors and UpdateNormalAndDepth for
-    every point the new keyframe observes.  TPU variant: the representative
-    descriptor becomes the newest observation's descriptor whenever it is
-    within the observation cloud (cheap proxy for the min-median-Hamming rule,
-    MapPoint.cc:359-439 — exact recomputation happens during periodic
-    refinement); the normal is a running mean with the new viewing ray; the
-    distance band is re-anchored on the new observation.
+    every point the new keyframe observes.  Exact semantics, batched:
+
+      * representative descriptor = the observation whose MEDIAN Hamming
+        distance to all other observations is minimal
+        (MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:359-439),
+        over up to MAX_OBS_TABLE observations gathered through a dense
+        per-keyframe slot table (no pointer chasing: each target point is a
+        feature row of the new keyframe, so point -> table row is the
+        feature index);
+      * normal = mean unit viewing ray over ALL observing keyframes
+        (MapPoint::UpdateNormalAndDepth, src/MapPoint.cc:477-521), via one
+        masked scatter-add over the [K, N] observation table;
+      * distance band re-anchored on the new keyframe's observation.
     """
+    from ..ops.matching.hamming import hamming_distance
+
     ids = m.kf_obs_pt[kf_id]
     ok = (ids >= 0) & m.kf_feat_valid[kf_id]
     idx = jnp.where(ok, ids, m.max_pt + 1)
+    N = m.feat_cap
 
-    cam_center = se3.inverse(m.kf_Tcw[kf_id])[:3, 3]
-    pos = m.pt_pos[jnp.clip(ids, 0, m.max_pt - 1)]
-    rays = pos - cam_center
-    dist = jnp.linalg.norm(rays, axis=-1)
-    new_normal = rays / jnp.maximum(dist[:, None], 1e-9)
-    old_normal = m.pt_normal[jnp.clip(ids, 0, m.max_pt - 1)]
-    mean_normal = old_normal + new_normal
-    mean_normal = mean_normal / jnp.maximum(
-        jnp.linalg.norm(mean_normal, axis=-1, keepdims=True), 1e-9
-    )
+    # point id -> target row (= its feature index in the new keyframe)
+    lut = jnp.full(m.max_pt + 2, -1, jnp.int32)
+    lut = lut.at[jnp.where(ok, ids, m.max_pt + 1)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
 
+    # [K, N] target row of every observation in the map (-1 = not a target)
+    obs_ok = (m.kf_obs_pt >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    tgt = jnp.where(obs_ok, lut[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)], -1)
+    hit = tgt >= 0
+
+    # ---- exact mean viewing normal over all observations ----
+    centers = ms.keyframe_positions(m)                      # [K, 3]
+    pos_t = m.pt_pos[jnp.clip(ids, 0, m.max_pt - 1)]        # [N, 3]
+    rays = pos_t[tgt.clip(0, N - 1)] - centers[:, None, :]  # [K, N, 3]
+    rays = rays / jnp.maximum(
+        jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+    t_flat = jnp.where(hit, tgt, N + 1)
+    normal_sum = jnp.zeros((N, 3), jnp.float32).at[t_flat.reshape(-1)].add(
+        jnp.where(hit[..., None], rays, 0.0).reshape(-1, 3), mode="drop")
+    mean_normal = normal_sum / jnp.maximum(
+        jnp.linalg.norm(normal_sum, axis=-1, keepdims=True), 1e-9)
+
+    # ---- distinctive descriptor: min-median-Hamming over observations ----
+    # slot of observation (k, target) = number of earlier keyframes (by slot
+    # order) observing the same target; capped at MAX_OBS_TABLE
+    O = MAX_OBS_TABLE
+    ind = hit.astype(jnp.int32)                             # [K, N]
+    slots = jnp.cumsum(ind, axis=0) - ind                   # exclusive prefix
+    in_table = hit & (slots < O)
+    flat_pos = jnp.where(in_table, tgt * O + slots, N * O + 1)
+    table = jnp.zeros((N * O, 8), jnp.uint32).at[flat_pos.reshape(-1)].set(
+        m.kf_desc.reshape(-1, 8), mode="drop").reshape(N, O, 8)
+    filled = jnp.zeros(N * O, bool).at[flat_pos.reshape(-1)].set(
+        True, mode="drop").reshape(N, O)
+    n_obs = jnp.sum(filled, axis=1)                         # [N]
+
+    dmat = hamming_distance(table[:, :, None, :], table[:, None, :, :])  # [N, O, O]
+    big = jnp.int32(1 << 20)
+    dmat = jnp.where(filled[:, None, :], dmat, big)
+    dsorted = jnp.sort(dmat, axis=-1)                       # valid dists first
+    med_idx = jnp.clip((n_obs - 1) // 2, 0, O - 1)          # MapPoint.cc:425
+    medians = jnp.take_along_axis(
+        dsorted, med_idx[:, None, None].repeat(O, axis=1), axis=-1)[..., 0]
+    medians = jnp.where(filled, medians, big)
+    best_obs = jnp.argmin(medians, axis=-1)                 # [N]
+    best_desc = jnp.take_along_axis(
+        table, best_obs[:, None, None].repeat(8, axis=2), axis=1)[:, 0]
+    # fall back to the new keyframe's descriptor when the table is empty
+    best_desc = jnp.where((n_obs > 0)[:, None], best_desc, m.kf_desc[kf_id])
+
+    # ---- distance band anchored on the new observation ----
+    cam_center = centers[kf_id]
+    dist = jnp.linalg.norm(pos_t - cam_center, axis=-1)
     scale_factors = jnp.asarray(config.orb.scale_factors())
     level = m.kf_level[kf_id]
     max_dist = dist * scale_factors[level]
     min_dist = max_dist / scale_factors[config.orb.n_levels - 1]
 
-    desc = m.kf_desc[kf_id]
     mode = dict(mode="drop")
     return m._replace(
-        pt_desc=m.pt_desc.at[idx].set(desc, **mode),
+        pt_desc=m.pt_desc.at[idx].set(best_desc, **mode),
         pt_normal=m.pt_normal.at[idx].set(mean_normal, **mode),
         pt_max_dist=m.pt_max_dist.at[idx].set(max_dist, **mode),
         pt_min_dist=m.pt_min_dist.at[idx].set(min_dist, **mode),
@@ -73,17 +127,27 @@ def cull_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState
     found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
     )
-    age = kf_id - m.pt_first_kf  # in keyframes
+    age = m.kf_seq[kf_id] - m.pt_first_kf  # in keyframes (seq numbers)
     bad = m.pt_valid & (
         (found_ratio < 0.25)
         | ((age >= 2) & (obs_count <= 2) & (m.pt_first_kf > 0))
     )
     # (points born with the first keyframe are exempt from the min-obs rule:
     # stereo init creates single-observation points by design)
-    return m._replace(pt_valid=m.pt_valid & ~bad)
+    # Scrub observations of culled points: their slots are REUSED by the
+    # free-list allocator, so a stale id in kf_obs_pt would alias the next
+    # point born in that slot.
+    bad_ind = jnp.zeros(m.max_pt + 2, bool).at[: m.max_pt].set(bad)
+    stale = (m.kf_obs_pt >= 0) & bad_ind[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)]
+    return m._replace(
+        pt_valid=m.pt_valid & ~bad,
+        kf_obs_pt=jnp.where(stale, ms.NO_POINT, m.kf_obs_pt),
+    )
 
 
-def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
+                       counts: jnp.ndarray | None = None,
+                       obs_count: jnp.ndarray | None = None) -> MapState:
     """Project neighbor keyframes' points into the new KF and bind matches.
 
     Reference: LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
@@ -103,10 +167,26 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> M
     scale_factors = jnp.asarray(config.orb.scale_factors())
     n_levels = config.orb.n_levels
 
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    if counts is None:
+        counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
     counts = counts.at[kf_id].set(0)
-    k = min(20, m.max_kf)  # nn=20 neighbors (reference LocalMapping.cc:632)
-    topv, topi = jax.lax.top_k(counts, k)
+    # nn = 10 stereo / 20 mono first-order + 5 second-order neighbors
+    # (reference LocalMapping::SearchInNeighbors src/LocalMapping.cc:628-660)
+    nn = min(20 if config.sensor == "mono" else 10, m.max_kf)
+    topv1, topi1 = jax.lax.top_k(counts, nn)
+    first_mask = jnp.zeros(m.max_kf, bool).at[topi1].set(topv1 > 0)
+    # second order: keyframes sharing points with the first-order set
+    nb_pts = ms.points_of_keyframes(m, first_mask)
+    ind2 = jnp.zeros(m.max_pt + 2, bool).at[: m.max_pt].set(nb_pts)
+    counts2 = jnp.sum(
+        ind2[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)]
+        & (m.kf_obs_pt >= 0) & m.kf_feat_valid, axis=1,
+    ).astype(jnp.int32) * m.kf_valid
+    counts2 = jnp.where(first_mask | (jnp.arange(m.max_kf) == kf_id),
+                        0, counts2)
+    topv2, topi2 = jax.lax.top_k(counts2, min(5, m.max_kf))
+    topv = jnp.concatenate([topv1, topv2])
+    topi = jnp.concatenate([topi1, topi2])
     neigh_mask = jnp.zeros(m.max_kf, bool).at[topi].set(topv > 0)
 
     cand_mask = ms.points_of_keyframes(m, neigh_mask)
@@ -160,7 +240,8 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> M
     m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_row))
 
     # occupied features: merge (loser = fewer observations -> forwarded)
-    obs_count = ms.observation_count(m)
+    if obs_count is None:
+        obs_count = ms.observation_count(m)
     cand_obs = obs_count[cand_c]
     occ_c = jnp.clip(occupied, 0, m.max_pt - 1)
     occ_obs = obs_count[occ_c]
@@ -231,7 +312,8 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> M
 
 
 def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
-                      max_new: int = 128) -> MapState:
+                      max_new: int = 128,
+                      counts: jnp.ndarray | None = None) -> MapState:
     """Triangulate new map points between the new KF and covisible neighbors.
 
     Reference: LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:312-626):
@@ -247,11 +329,13 @@ def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     from ..ops.triangulate import projection_matrix, triangulate_linear
 
     cam = config.camera
-    n_nb = 8
+    # nn = 10 stereo/RGB-D, 20 mono (reference LocalMapping.cc:316-318)
+    n_nb = min(20 if config.sensor == "mono" else 10, m.max_kf)
     scale_factors = jnp.asarray(config.orb.scale_factors())
     sigma2 = jnp.asarray(config.orb.sigma2())
 
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    if counts is None:
+        counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
     counts = counts.at[kf_id].set(0)
     topv, topi = jax.lax.top_k(counts, n_nb)
     nb_ok = topv > 0
@@ -360,7 +444,8 @@ def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     return m
 
 
-def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
+                            counts: jnp.ndarray | None = None) -> MapState:
     """Local BA over a covisibility-ranked window around the new keyframe.
 
     Reference: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:629-1014):
@@ -372,10 +457,12 @@ def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray)
     from ..ops.optim.bundle_adjust import bundle_adjust
 
     caps = config.caps
-    n_free, n_fixed = caps.ba_free_kfs, caps.ba_fixed_kfs
+    n_free = min(caps.ba_free_kfs, m.max_kf)
+    n_fixed = min(caps.ba_fixed_kfs, m.max_kf)
     Pl = caps.ba_points
 
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    if counts is None:
+        counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
     # the new KF always belongs to the window
     counts = counts.at[kf_id].add(10_000)
     free_counts, free_idx = jax.lax.top_k(counts, n_free)
@@ -442,7 +529,9 @@ def local_bundle_adjustment(config: SlamConfig, m: MapState, kf_id: jnp.ndarray)
     return m._replace(kf_Tcw=kf_Tcw, pt_pos=pt_pos, kf_obs_pt=kf_obs_pt)
 
 
-def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
+                   counts: jnp.ndarray | None = None,
+                   obs_count: jnp.ndarray | None = None) -> MapState:
     """Retire redundant covisible keyframes.
 
     Reference: LocalMapping::KeyFrameCulling (src/LocalMapping.cc:873-1030):
@@ -451,8 +540,10 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapSt
     (KeyFrame::SetBadFlag stores mTcp, src/KeyFrame.cc:571-724) so
     trajectory entries referencing it stay resolvable.
     """
-    obs_count = ms.observation_count(m)
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    if obs_count is None:
+        obs_count = ms.observation_count(m)
+    if counts is None:
+        counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
     counts = counts.at[kf_id].set(0)
     topv, topi = jax.lax.top_k(counts, min(10, m.max_kf))
 
@@ -470,7 +561,7 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapSt
     red = jnp.where((topv > 0) & (topi != 0) & (topi != kf_id), red, 0.0)
     worst = jnp.argmax(red)
     victim = topi[worst]
-    do_cull = red[worst] >= 0.9
+    do_cull = red[worst] >= config.tracking.kf_cull_redundancy
 
     # parent = its most covisible surviving keyframe
     vcounts = ms.covisibility_row(m, m.kf_obs_pt[victim])
@@ -479,10 +570,24 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapSt
     Tcp = m.kf_Tcw[victim] @ se3.inverse(m.kf_Tcw[parent])
 
     victim_s = jnp.where(do_cull, victim, m.max_kf + 1)
+    # archive (seq, parent_seq, Tcp) so trajectory entries referencing the
+    # victim stay resolvable after its slot is reused (KeyFrame::SetBadFlag
+    # keeps mTcp on the bad KF, src/KeyFrame.cc:571-724)
+    A = m.cull_seq.shape[0]
+    a_slot = jnp.where(do_cull, m.n_culled % A, A + 1)
+    # points whose reference keyframe was the victim re-anchor on the parent
+    pt_ref = jnp.where(m.pt_valid & (m.pt_ref_kf == victim) & do_cull,
+                       parent, m.pt_ref_kf)
     return m._replace(
         kf_valid=m.kf_valid.at[victim_s].set(False, mode="drop"),
         kf_parent=m.kf_parent.at[victim_s].set(parent, mode="drop"),
         kf_Tcp=m.kf_Tcp.at[victim_s].set(Tcp, mode="drop"),
+        cull_seq=m.cull_seq.at[a_slot].set(m.kf_seq[victim], mode="drop"),
+        cull_parent_seq=m.cull_parent_seq.at[a_slot].set(
+            m.kf_seq[parent], mode="drop"),
+        cull_Tcp=m.cull_Tcp.at[a_slot].set(Tcp, mode="drop"),
+        n_culled=m.n_culled + do_cull.astype(jnp.int32),
+        pt_ref_kf=pt_ref,
     )
 
 
@@ -498,10 +603,23 @@ class LocalMapper:
 
 
 def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """One mapping pass (reference LocalMapping::Run body).
+
+    The covisibility row / observation counts are computed ONCE and shared
+    across the stages — the reference likewise works from the covisibility
+    graph refreshed at ProcessNewKeyFrame and only re-runs UpdateConnections
+    at the end of SearchInNeighbors (src/LocalMapping.cc:198,628-779), so
+    intra-pass staleness matches its semantics and saves ~4 O(K*N) passes.
+    """
     m = cull_points(config, m, kf_id)
-    m = create_new_points(config, m, kf_id)
-    m = fuse_into_keyframe(config, m, kf_id)
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    obs_count = ms.observation_count(m)
+    m = create_new_points(config, m, kf_id, counts=counts)
+    m = fuse_into_keyframe(config, m, kf_id, counts=counts,
+                           obs_count=obs_count)
     m = refresh_observed_points(config, m, kf_id)
-    m = local_bundle_adjustment(config, m, kf_id)
-    m = cull_keyframes(config, m, kf_id)
+    m = local_bundle_adjustment(config, m, kf_id, counts=counts)
+    # fresh observation counts for the redundancy rule (fuse just densified
+    # the graph; the 90% rule needs the post-fuse counts)
+    m = cull_keyframes(config, m, kf_id, counts=counts)
     return m

@@ -3,18 +3,27 @@
 TPU-native counterpart of the reference LoopClosing thread
 (src/LoopClosing.cc) run as a pipelined phase after keyframe insertion:
 
-  * DetectLoop (:133): dense BoW L1 scores against every keyframe, excluding
-    covisible neighbors and the last 10 keyframes (cooldown), threshold =
-    min score among covisible KFs (minScore :159-179).
-  * ComputeSim3 (:337): node-constrained SearchByBoW between the two
-    keyframes' map points -> 3D-3D pairs in camera frames -> batched Horn
-    RANSAC over 3-point minimal sets (Sim3Solver.cc:199/309) with scale
-    locked for stereo/RGB-D (bFixScale) -> all-inlier refit, accept >= 20.
-  * CorrectLoop (:571): Sim3 pose-graph (essential graph) over sequential +
-    covisibility + loop edges with the loop keyframe fixed
-    (Optimizer::OptimizeEssentialGraph), pose recovery T = [R, t/s], and
-    map-point remapping through each point's reference keyframe.
-  * Optional synchronous global BA (:880, capacity-gated here).
+  * DetectLoop (:133) with KeyFrameDatabase::DetectLoopCandidates semantics
+    (src/KeyFrameDatabase.cc:104-239): shared-word filter at
+    0.8*maxCommonWords, score >= minScore (min over covisibles), then
+    covisibility-group ACCUMULATED scores with the 0.75*best cutoff —
+    multiple candidates survive, not just the argmax.
+  * ComputeSim3 (:337) vmapped over the surviving candidates: per candidate,
+    node-constrained SearchByBoW -> 3D-3D pairs -> batched Horn RANSAC over
+    3-point minimal sets (Sim3Solver.cc:199/309, scale locked for
+    stereo/RGB-D) -> SearchBySim3-style projection match extension
+    (ORBmatcher.cc:1314) -> Sim3 GN polish -> accept >= 20 inliers.
+  * Final acceptance gate: project the loop keyframe's covisibility-group
+    points through the corrected Scw into the current keyframe and require
+    >= 40 total matches (reference LoopClosing.cc:522-545).
+  * CorrectLoop (:571): Sim3 pose-graph (essential graph) over the
+    SEQ-ordered temporal chain + strong covisibility edges + ALL persisted
+    loop edges (KeyFrame::AddLoopEdge, src/KeyFrame.cc:556) with the loop
+    keyframe fixed (Optimizer::OptimizeEssentialGraph), pose recovery
+    T = [R, t/s], and map-point remapping through reference keyframes.
+  * Global BA after every loop (:880): dense in-graph when the map capacity
+    permits, otherwise dispatched to the sharded parallel/distributed_ba
+    path from the host (works on a single device too).
 """
 
 from __future__ import annotations
@@ -36,40 +45,29 @@ from . import map_state as ms
 
 COOLDOWN = 10        # reference :147
 MIN_SIM3_INLIERS = 20  # reference :463
+MIN_PROJ_TOTAL = 40    # reference :545
 N_HYPOTHESES = 128
+N_CANDIDATES = 3       # Sim3-verified candidates per pass
+N_GROUP = 8            # candidates entering group accumulation
 
 
 class LoopDetection(NamedTuple):
-    found: jnp.ndarray       # scalar bool
-    cand_kf: jnp.ndarray     # scalar int32
+    found: jnp.ndarray       # scalar bool: best candidate fully verified
+    cand_kf: jnp.ndarray     # scalar int32 (slot of the verified candidate)
     S_cur_cand: jnp.ndarray  # [8] Sim3 mapping cand-camera coords -> cur-camera
     n_inliers: jnp.ndarray
-    cand_group: jnp.ndarray  # [K] bool: candidate's covisibility group (for
-                             # consistency chaining, reference :229-305)
+    n_proj: jnp.ndarray      # scalar int32: Scw-projection total (>=40 gate)
+    groups: jnp.ndarray      # [C, K] bool BoW-candidate covisibility groups
+    group_ok: jnp.ndarray    # [C] bool: group is a live BoW-stage candidate
+    best_c: jnp.ndarray      # scalar int32: which group the winner belongs to
 
 
-def detect_and_verify(
-    config: SlamConfig, m: MapState, kf_id: jnp.ndarray, key: jnp.ndarray
-) -> LoopDetection:
+def _sim3_verify(config: SlamConfig, m: MapState, kf_id, cand, active, key):
+    """Per-candidate ComputeSim3: SearchByBoW -> Horn RANSAC ->
+    projection match extension -> GN polish.  Returns (n_inliers, S)."""
     cam = config.camera
     fix_scale = config.sensor != "mono"
 
-    # ---- candidate retrieval (DetectLoop) ----
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
-    covis = counts > 0
-    scores = bow_ops.l1_score(m.kf_bow[kf_id], m.kf_bow)
-    covis_scores = jnp.where(covis & m.kf_valid, scores, jnp.inf)
-    min_score = jnp.minimum(jnp.min(covis_scores), 1.0)
-    eligible = (
-        m.kf_valid
-        & ~covis
-        & (jnp.arange(m.max_kf) < kf_id - COOLDOWN)
-    )
-    cand_scores = jnp.where(eligible, scores, -jnp.inf)
-    cand = jnp.argmax(cand_scores).astype(jnp.int32)
-    has_cand = cand_scores[cand] >= jnp.maximum(min_score, 0.015)
-
-    # ---- 3D-3D correspondences via SearchByBoW (ComputeSim3) ----
     cur_has = (m.kf_obs_pt[kf_id] >= 0) & m.kf_feat_valid[kf_id]
     cand_has = (m.kf_obs_pt[cand] >= 0) & m.kf_feat_valid[cand]
     node_mask = (
@@ -78,27 +76,26 @@ def detect_and_verify(
     )
     match = mcore.mutual_best_match(
         m.kf_desc[kf_id], m.kf_desc[cand], node_mask,
-        cur_has, cand_has, max_dist=mcore.TH_LOW, ratio=0.75,
+        cur_has & active, cand_has, max_dist=mcore.TH_LOW, ratio=0.75,
     )
     n_matches = jnp.sum(match.valid)
 
     pid_cur = jnp.clip(m.kf_obs_pt[kf_id], 0, m.max_pt - 1)
     j = jnp.where(match.valid, match.idx, 0)
     pid_cand = jnp.clip(m.kf_obs_pt[cand, j], 0, m.max_pt - 1)
-    # camera-frame positions of the matched points in each keyframe
     p_cur = se3.transform_points(m.kf_Tcw[kf_id], m.pt_pos[pid_cur])
     p_cand = se3.transform_points(m.kf_Tcw[cand], m.pt_pos[pid_cand])
     w = match.valid.astype(jnp.float32)
 
-    # ---- batched Horn RANSAC over 3-point sets ----
     n_feat = match.valid.shape[0]
     probs = w / jnp.maximum(jnp.sum(w), 1.0)
-    sets = jax.random.choice(key, n_feat, shape=(N_HYPOTHESES, 3), replace=True, p=probs)
-    s_h, R_h, t_h = horn_align(p_cand[sets], p_cur[sets], with_scale=not fix_scale)
+    sets = jax.random.choice(key, n_feat, shape=(N_HYPOTHESES, 3),
+                             replace=True, p=probs)
+    s_h, R_h, t_h = horn_align(p_cand[sets], p_cur[sets],
+                               with_scale=not fix_scale)
     if fix_scale:
         s_h = jnp.ones_like(s_h)
 
-    # inlier check: mutual reprojection (Sim3Solver::CheckInliers)
     def reproj_err(R, t, s, src, dst):
         pred = s * src @ R.T + t
         z = jnp.where(jnp.abs(pred[:, 2]) < 1e-6, 1e-6, pred[:, 2])
@@ -109,44 +106,167 @@ def detect_and_verify(
         vd = cam.fy * dst[:, 1] / zd + cam.cy
         return (u - ud) ** 2 + (v - vd) ** 2
 
-    def hyp_inliers(s, R, t):
-        e1 = reproj_err(R, t, s, p_cand, p_cur)
+    def hyp_inliers(s, R, t, src, pair_ok):
+        e1 = reproj_err(R, t, s, src, p_cur)
         Rt = R.T
-        e2 = reproj_err(Rt, -Rt @ t / jnp.maximum(s, 1e-9), 1.0 / jnp.maximum(s, 1e-9),
-                        p_cur, p_cand)
-        return (e1 < 9.21) & (e2 < 9.21) & match.valid  # reference th2 ~ 9.21/10
+        e2 = reproj_err(Rt, -Rt @ t / jnp.maximum(s, 1e-9),
+                        1.0 / jnp.maximum(s, 1e-9), p_cur, src)
+        return (e1 < 9.21) & (e2 < 9.21) & pair_ok  # reference th2 ~ 9.21/10
 
-    inl = jax.vmap(hyp_inliers)(s_h, R_h, t_h)
+    inl = jax.vmap(lambda s, R, t: hyp_inliers(s, R, t, p_cand, match.valid))(
+        s_h, R_h, t_h)
     n_inl = jnp.sum(inl, axis=1)
     best = jnp.argmax(n_inl)
 
-    # all-inlier refit
     w_best = inl[best].astype(jnp.float32)
-    s_f, R_f, t_f = horn_align(p_cand, p_cur, w_best, with_scale=not fix_scale)
+    s_f, R_f, t_f = horn_align(p_cand, p_cur, w_best,
+                               with_scale=not fix_scale)
     if fix_scale:
         s_f = jnp.ones_like(s_f)
-    S = sim3.make(R_f, t_f, s_f)
 
-    # GN polish with paired projection residuals (reference calls
-    # Optimizer::OptimizeSim3 after the RANSAC solve, LoopClosing.cc:463)
+    # --- SearchBySim3-style match extension (reference ORBmatcher.cc:1314):
+    # project the candidate's map points into the current keyframe through
+    # the RANSAC Sim3 and claim window matches the BoW stage missed.
+    S_r = sim3.make(R_f, t_f, s_f)
+    p_cand_in_cur = jax.vmap(sim3.apply_point, in_axes=(None, 0))(S_r, p_cand)
+    z = jnp.maximum(p_cand_in_cur[:, 2], 1e-6)
+    uv = jnp.stack([cam.fx * p_cand_in_cur[:, 0] / z + cam.cx,
+                    cam.fy * p_cand_in_cur[:, 1] / z + cam.cy], -1)
+    vis = cand_has & (p_cand_in_cur[:, 2] > 0)
+    ext = mcore.mutual_best_match(
+        m.kf_desc[cand], m.kf_desc[kf_id],
+        mcore.window_mask(uv, m.kf_xy[kf_id], jnp.full(n_feat, 7.5)),
+        vis, cur_has, max_dist=mcore.TH_HIGH, ratio=None,
+    )
+    # merged correspondence set, indexed by CURRENT-keyframe feature: keep
+    # the BoW match when both exist
+    ext_scatter = jnp.full(n_feat, -1, jnp.int32).at[
+        jnp.where(ext.valid, ext.idx, n_feat + 1)
+    ].set(jnp.arange(n_feat, dtype=jnp.int32), mode="drop")
+    j_ext = jnp.where(match.valid, j,
+                      jnp.where(ext_scatter >= 0, ext_scatter, 0))
+    pair_ok = match.valid | (ext_scatter >= 0)
+    pid_cand2 = jnp.clip(m.kf_obs_pt[cand, j_ext], 0, m.max_pt - 1)
+    p_cand2 = se3.transform_points(m.kf_Tcw[cand], m.pt_pos[pid_cand2])
+
     from ..ops.optim.sim3_opt import optimize_sim3
 
     uv_cur = m.kf_xy[kf_id]
-    uv_cand = m.kf_xy[cand, jnp.clip(j, 0, m.feat_cap - 1)]
+    uv_cand = m.kf_xy[cand, jnp.clip(j_ext, 0, m.feat_cap - 1)]
+    # inliers of the EXTENDED correspondence set under the refit transform —
+    # so the projection-recovered pairs actually enter the GN polish
+    inl_ext = hyp_inliers(sim3.scale(S_r), sim3.rotation(S_r),
+                          sim3.translation(S_r), p_cand2, pair_ok)
     opt = optimize_sim3(
-        cam, S, p_cur, p_cand, uv_cur, uv_cand,
-        match.valid & inl[best], fix_scale=fix_scale,
+        cam, S_r, p_cur, p_cand2, uv_cur, uv_cand,
+        inl_ext, fix_scale=fix_scale,
     )
     S = opt.S12
-    final_inl = jnp.sum(hyp_inliers(sim3.scale(S), sim3.rotation(S), sim3.translation(S)))
+    final_inl = jnp.sum(hyp_inliers(
+        sim3.scale(S), sim3.rotation(S), sim3.translation(S), p_cand2,
+        pair_ok))
+    ok = active & (n_matches >= 20) & (final_inl >= MIN_SIM3_INLIERS)
+    return jnp.where(ok, final_inl, 0).astype(jnp.int32), S
 
-    found = has_cand & (n_matches >= 20) & (final_inl >= MIN_SIM3_INLIERS)
-    cand_counts = ms.covisibility_row(m, m.kf_obs_pt[cand])
-    cand_group = (cand_counts > 0) | (jnp.arange(m.max_kf) == cand)
+
+def detect_and_verify(
+    config: SlamConfig, m: MapState, kf_id: jnp.ndarray, key: jnp.ndarray
+) -> LoopDetection:
+    cam = config.camera
+
+    # ---- candidate retrieval (DetectLoop + DetectLoopCandidates) ----
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    covis = counts > 0
+    scores = bow_ops.l1_score(m.kf_bow[kf_id], m.kf_bow)
+    covis_scores = jnp.where(covis & m.kf_valid, scores, jnp.inf)
+    # with no valid covisible scores fall back to the absolute floor instead
+    # of an impossible threshold (reference LoopClosing.cc:159-179)
+    min_score = jnp.where(jnp.isfinite(jnp.min(covis_scores)),
+                          jnp.minimum(jnp.min(covis_scores), 1.0), 0.0)
+    seq_cur = m.kf_seq[kf_id]
+    eligible = (
+        m.kf_valid & ~covis & (m.kf_seq >= 0)
+        & (m.kf_seq <= seq_cur - COOLDOWN)
+    )
+    # shared-word filter (KeyFrameDatabase.cc:104-160): candidates must share
+    # >= 0.8 * maxCommonWords words with the query
+    qw = m.kf_bow[kf_id] > 0
+    common = jnp.sum(qw[None, :] & (m.kf_bow > 0), axis=1)
+    max_common = jnp.max(jnp.where(eligible, common, 0))
+    word_ok = common.astype(jnp.float32) >= 0.8 * max_common.astype(jnp.float32)
+    cand0 = eligible & word_ok & (scores >= jnp.maximum(min_score, 0.015))
+
+    # covisibility-group accumulated scores over the best N_GROUP candidates
+    # (KeyFrameDatabase.cc:180-239): each candidate's score is summed with
+    # its top-10 covisible co-candidates; groups below 0.75*best are cut
+    base_scores = jnp.where(cand0, scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(base_scores, min(N_GROUP, m.max_kf))
+
+    def group_score(k):
+        row = ms.covisibility_row(m, m.kf_obs_pt[k]).at[k].set(0)
+        nbv, nbi = jax.lax.top_k(row, min(10, m.max_kf))
+        nb_is_cand = cand0[nbi] & (nbv > 0)
+        acc = scores[k] + jnp.sum(jnp.where(nb_is_cand, scores[nbi], 0.0))
+        nb_best = jnp.argmax(jnp.where(nb_is_cand, scores[nbi], -jnp.inf))
+        use_nb = nb_is_cand[nb_best] & (scores[nbi[nb_best]] > scores[k])
+        best_kf = jnp.where(use_nb, nbi[nb_best], k)
+        group = jnp.zeros(m.max_kf, bool).at[nbi].set(nb_is_cand)
+        group = group.at[k].set(True)
+        return acc, best_kf.astype(jnp.int32), group
+
+    accs, best_kfs, groups_all = jax.vmap(group_score)(top_i)
+    cand_live = jnp.isfinite(top_s)
+    accs = jnp.where(cand_live, accs, -jnp.inf)
+    best_acc = jnp.max(accs)
+    group_keep = cand_live & (accs >= 0.75 * best_acc)
+
+    order = jnp.argsort(-jnp.where(group_keep, accs, -jnp.inf))
+    sel = order[:N_CANDIDATES]
+    cand_slots = best_kfs[sel]
+    cand_active = group_keep[sel]
+    groups = groups_all[sel] & m.kf_valid[None, :]
+
+    # ---- vmapped Sim3 verification over the surviving candidates ----
+    keys = jax.random.split(key, N_CANDIDATES)
+    n_inls, Ss = jax.vmap(
+        lambda c, a, k: _sim3_verify(config, m, kf_id, c, a, k)
+    )(cand_slots, cand_active, keys)
+    best_c = jnp.argmax(n_inls)
+    cand = cand_slots[best_c]
+    S = Ss[best_c]
+    final_inl = n_inls[best_c]
+
+    # ---- Scw-projection acceptance gate (LoopClosing.cc:522-545): project
+    # the loop group's points into the current keyframe through the
+    # corrected pose; total matches must reach 40
+    group_mask = groups[best_c]
+    gpt = ms.points_of_keyframes(m, group_mask)
+    C = config.caps.local_points
+    gids = jnp.nonzero(gpt, size=C, fill_value=m.max_pt)[0]
+    g_ok = gids < m.max_pt
+    g_c = jnp.clip(gids, 0, m.max_pt - 1)
+    # corrected current pose: Scw = S_cur_cand . S_cand_w
+    S_cw = sim3.compose(S, sim3.from_se3(m.kf_Tcw[cand]))
+    p_c = jax.vmap(sim3.apply_point, in_axes=(None, 0))(S_cw, m.pt_pos[g_c])
+    zc = jnp.maximum(p_c[:, 2], 1e-6)
+    uvc = jnp.stack([cam.fx * p_c[:, 0] / zc + cam.cx,
+                     cam.fy * p_c[:, 1] / zc + cam.cy], -1)
+    visc = g_ok & (p_c[:, 2] > 0) & (uvc[:, 0] >= 0) & (uvc[:, 0] < cam.width) \
+        & (uvc[:, 1] >= 0) & (uvc[:, 1] < cam.height)
+    pm = mcore.mutual_best_match(
+        m.pt_desc[g_c], m.kf_desc[kf_id],
+        mcore.window_mask(uvc, m.kf_xy[kf_id], jnp.full(C, 10.0)),
+        visc, m.kf_feat_valid[kf_id], max_dist=mcore.TH_LOW, ratio=None,
+    )
+    n_proj = jnp.sum(pm.valid).astype(jnp.int32)
+
+    found = (final_inl >= MIN_SIM3_INLIERS) & (n_proj >= MIN_PROJ_TOTAL)
     return LoopDetection(
         found=found, cand_kf=cand, S_cur_cand=S,
         n_inliers=final_inl.astype(jnp.int32),
-        cand_group=cand_group & m.kf_valid,
+        n_proj=n_proj,
+        groups=groups, group_ok=cand_active,
+        best_c=best_c.astype(jnp.int32),
     )
 
 
@@ -157,16 +277,29 @@ def correct_loop(
     K = m.max_kf
     S_old = jax.vmap(sim3.from_se3)(m.kf_Tcw)
 
+    # persist the verified loop edge FIRST (KeyFrame::AddLoopEdge analogue)
+    # so this and every future essential graph includes it
+    L = m.loop_seq_i.shape[0]
+    l_slot = m.n_loop % L
+    m = m._replace(
+        loop_seq_i=m.loop_seq_i.at[l_slot].set(m.kf_seq[kf_id]),
+        loop_seq_j=m.loop_seq_j.at[l_slot].set(m.kf_seq[det.cand_kf]),
+        loop_meas=m.loop_meas.at[l_slot].set(det.S_cur_cand),
+        n_loop=m.n_loop + 1,
+    )
+
     # corrected pose of the current keyframe: Scw_corrected = S_cur_cand . Scand_w
     S_corr_cur = sim3.compose(det.S_cur_cand, S_old[det.cand_kf])
     S_init = S_old.at[kf_id].set(S_corr_cur)
 
     # ---- edges ----
-    # sequential chain over valid keyframes (spanning-tree analogue)
+    # temporal chain in SEQ order (the spanning tree of a sequential video;
+    # slots are reused so index adjacency is meaningless)
     idx = jnp.arange(K, dtype=jnp.int32)
-    seq_i = idx[1:]
-    seq_j = idx[:-1]
-    seq_valid = m.kf_valid[1:] & m.kf_valid[:-1]
+    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq, jnp.int32(1 << 30)))
+    seq_i = order[1:]
+    seq_j = order[:-1]
+    seq_valid = m.kf_valid[order[1:]] & m.kf_valid[order[:-1]]
     seq_meas = jax.vmap(
         lambda i, j: sim3.compose(S_old[i], sim3.inverse(S_old[j]))
     )(seq_i, seq_j)
@@ -189,11 +322,17 @@ def correct_loop(
         lambda i, j: sim3.compose(S_old[i], sim3.inverse(S_old[j]))
     )(cov_i, cov_j)
 
-    # loop edge: measured relative S_cur_cand
-    loop_i = kf_id[None]
-    loop_j = det.cand_kf[None]
-    loop_meas = det.S_cur_cand[None]
-    loop_valid = jnp.array([True])
+    # ALL persisted loop edges (incl. the one just added): endpoints stored
+    # as seqs, resolved to live slots; edges whose endpoint was culled drop
+    def resolve_seq(seq):
+        slot = jnp.argmax(m.kf_seq == seq).astype(jnp.int32)
+        ok = (m.kf_seq[slot] == seq) & m.kf_valid[slot] & (seq >= 0)
+        return slot, ok
+
+    loop_i, li_ok = jax.vmap(resolve_seq)(m.loop_seq_i)
+    loop_j, lj_ok = jax.vmap(resolve_seq)(m.loop_seq_j)
+    loop_valid = li_ok & lj_ok
+    loop_meas = m.loop_meas
 
     edge_i = jnp.concatenate([seq_i, cov_i, loop_i])
     edge_j = jnp.concatenate([seq_j, cov_j, loop_j])
@@ -226,8 +365,8 @@ def correct_loop(
 
     # ---- global bundle adjustment (reference RunGlobalBundleAdjustment,
     # LoopClosing.cc:880: 10 iterations after every loop closure).  The dense
-    # Schur assembly scales with max_kf * max_pt; gate it so huge maps skip
-    # (the sharded BA in parallel/ is the path for those).
+    # Schur assembly scales with max_kf * max_pt; maps beyond the dense gate
+    # run the sharded GBA from LoopCloser.process instead (never skipped).
     if config.tracking.enable_loop_gba and m.max_kf * m.max_pt <= 4 * 1024 * 1024:
         from ..ops.optim.bundle_adjust import bundle_adjust
 
@@ -246,15 +385,49 @@ def correct_loop(
     return m
 
 
+def _needs_sharded_gba(config: SlamConfig, m: MapState) -> bool:
+    return (config.tracking.enable_loop_gba
+            and m.max_kf * m.max_pt > 4 * 1024 * 1024)
+
+
+def run_sharded_gba(config: SlamConfig, m: MapState, anchor_kf) -> MapState:
+    """Post-loop global BA for maps too big for the dense in-graph path —
+    the reference never skips GBA (LoopClosing.cc:880).  Uses the sharded
+    Schur BA over all available devices (fine on one device too)."""
+    from ..parallel.distributed_ba import distributed_bundle_adjust
+    from ..parallel.mesh import MeshSpec, make_mesh
+
+    n_dev = len(jax.devices())
+    P = m.pt_pos.shape[0]
+    while n_dev > 1 and P % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(MeshSpec(n_map=1, n_blk=n_dev))
+    obs_uvr = jnp.concatenate([m.kf_xy, m.kf_uright[..., None]], axis=-1)
+    sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level]
+    kf_free = m.kf_valid & (jnp.arange(m.max_kf) != int(anchor_kf)) & (
+        jnp.arange(m.max_kf) != 0)
+    add = lambda x: jax.tree.map(lambda a: a[None], x)
+    res = distributed_bundle_adjust(
+        mesh, config.camera, add(m.kf_Tcw), add(m.pt_pos), add(m.kf_obs_pt),
+        add(obs_uvr), add(sigma2),
+        add(m.kf_feat_valid & m.kf_valid[:, None] & (m.kf_obs_pt >= 0)),
+        add(kf_free), add(m.pt_valid), n_iters=10,
+        ur_weight=config.ur_weight,
+    )
+    return m._replace(kf_Tcw=res.kf_Tcw[0], pt_pos=res.pt_pos[0])
+
+
 class LoopCloser:
     def __init__(self, config: SlamConfig):
         self.config = config
         self.enabled = config.vocab is not None
         self.last_loop_kf = -999
+        self._kf_counter = 0
         self.n_big_changes = 0   # reference Map::InformNewBigChange (Map.cc:111)
         # covisibility-consistency chaining state: list of (group mask,
-        # chain length) from the previous keyframe's detection (reference
-        # mvConsistentGroups, LoopClosing.cc:229-305)
+        # chain length) from previous keyframes' BOW-STAGE detections
+        # (reference mvConsistentGroups chains BEFORE the Sim3 gate,
+        # LoopClosing.cc:229-305)
         self._consistent_groups: list = []
         self._key = jax.random.PRNGKey(7)
         if self.enabled:
@@ -266,25 +439,37 @@ class LoopCloser:
     def process(self, m: MapState, kf_id) -> MapState:
         if not self.enabled:
             return m
+        self._kf_counter += 1
         kf_id = jnp.asarray(kf_id, jnp.int32)
-        if int(kf_id) - self.last_loop_kf < COOLDOWN:
+        if self._kf_counter - self.last_loop_kf < COOLDOWN:
             return m
         self._key, sub = jax.random.split(self._key)
         det = self._jit_detect(m, kf_id, sub)
-        if bool(det.found):
-            import numpy as np
+        import numpy as np
 
-            group = np.asarray(det.cand_group)
+        groups = np.asarray(det.groups)
+        g_ok = np.asarray(det.group_ok)
+        # chain BoW-stage candidate groups against last keyframe's groups
+        # (pre-Sim3, like the reference); keep ALL consistent groups
+        new_groups = []
+        chains = np.zeros(len(g_ok), np.int32)
+        for c in range(len(g_ok)):
+            if not g_ok[c]:
+                continue
             chain = 1 + max(
-                (n for g, n in self._consistent_groups if bool((g & group).any())),
-                default=0,
+                (n for g, n in self._consistent_groups
+                 if bool((g & groups[c]).any())), default=0,
             )
-            self._consistent_groups = [(group, chain)]
-            if chain >= self.config.tracking.loop_consistency_th:
+            chains[c] = chain
+            new_groups.append((groups[c], chain))
+        self._consistent_groups = new_groups
+        if bool(det.found):
+            best_c = int(det.best_c)
+            if chains[best_c] >= self.config.tracking.loop_consistency_th:
                 m = self._jit_correct(m, kf_id, det)
-                self.last_loop_kf = int(kf_id)
+                if _needs_sharded_gba(self.config, m):
+                    m = run_sharded_gba(self.config, m, int(det.cand_kf))
+                self.last_loop_kf = self._kf_counter
                 self.n_big_changes += 1
                 self._consistent_groups = []
-        else:
-            self._consistent_groups = []
         return m

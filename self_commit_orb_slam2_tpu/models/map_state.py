@@ -52,6 +52,9 @@ class MapState(NamedTuple):
     kf_Tcp: jnp.ndarray        # [K, 4, 4] relative pose to parent at cull time
     kf_word: jnp.ndarray       # [K, N] int32 BoW word ids (-1 = none)
     kf_node: jnp.ndarray       # [K, N] int32 mid-level node ids (SearchByBoW)
+    kf_seq: jnp.ndarray        # [K] int32 insertion sequence number (-1 unused);
+                               # slots are REUSED after culling, so temporal
+                               # order lives here, not in the slot index
     # --- map points ---
     pt_pos: jnp.ndarray        # [P, 3]
     pt_normal: jnp.ndarray     # [P, 3]
@@ -63,9 +66,26 @@ class MapState(NamedTuple):
     pt_first_kf: jnp.ndarray   # [P] int32 (MapPoint culling rules)
     pt_visible: jnp.ndarray    # [P] int32
     pt_found: jnp.ndarray      # [P] int32
-    # --- counters ---
-    n_kf: jnp.ndarray          # scalar int32
-    n_pt: jnp.ndarray          # scalar int32
+    # --- cull archive (trajectory resolution for retired keyframes) ---
+    # When a keyframe slot is reclaimed its relative pose to a parent must
+    # survive so old trajectory entries referencing it stay resolvable
+    # (reference keeps bad KeyFrames alive with mTcp, src/KeyFrame.cc:571-724;
+    # here retired KFs append (seq, parent_seq, Tcp) to this ring).
+    cull_seq: jnp.ndarray         # [A] int32 seq of the culled keyframe (-1 empty)
+    cull_parent_seq: jnp.ndarray  # [A] int32 seq of its parent at cull time
+    cull_Tcp: jnp.ndarray         # [A, 4, 4] T_victim<-parent at cull time
+    n_culled: jnp.ndarray         # scalar int32 (monotone; ring index)
+    # --- persisted loop edges (reference KeyFrame::AddLoopEdge
+    # src/KeyFrame.cc:556; every OptimizeEssentialGraph re-includes past loop
+    # edges, src/Optimizer.cc:1100-1265).  Endpoints are SEQ numbers so they
+    # survive slot reuse; the measurement is the verified Sim3 S_i<-j.
+    loop_seq_i: jnp.ndarray       # [L] int32 (-1 empty)
+    loop_seq_j: jnp.ndarray       # [L] int32
+    loop_meas: jnp.ndarray        # [L, 8] Sim3
+    n_loop: jnp.ndarray           # scalar int32 (ring index)
+    # --- counters (MONOTONE totals-ever; live counts = mask sums) ---
+    n_kf: jnp.ndarray          # scalar int32: keyframes ever inserted (= next seq)
+    n_pt: jnp.ndarray          # scalar int32: points ever created
 
     @property
     def max_kf(self) -> int:
@@ -104,6 +124,7 @@ def empty_map(config: SlamConfig) -> MapState:
         kf_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         kf_word=jnp.full((K, N), -1, jnp.int32),
         kf_node=jnp.full((K, N), -1, jnp.int32),
+        kf_seq=jnp.full(K, -1, jnp.int32),
         pt_pos=jnp.zeros((P, 3), f32),
         pt_normal=jnp.zeros((P, 3), f32),
         pt_desc=jnp.zeros((P, 8), jnp.uint32),
@@ -114,9 +135,24 @@ def empty_map(config: SlamConfig) -> MapState:
         pt_first_kf=jnp.zeros(P, jnp.int32),
         pt_visible=jnp.zeros(P, jnp.int32),
         pt_found=jnp.zeros(P, jnp.int32),
+        cull_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
+        cull_parent_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
+        cull_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (config.caps.cull_log, 1, 1)),
+        n_culled=jnp.int32(0),
+        loop_seq_i=jnp.full(config.caps.loop_log, -1, jnp.int32),
+        loop_seq_j=jnp.full(config.caps.loop_log, -1, jnp.int32),
+        loop_meas=jnp.tile(
+            jnp.asarray([0, 0, 0, 1, 0, 0, 0, 1], f32),
+            (config.caps.loop_log, 1)),
+        n_loop=jnp.int32(0),
         n_kf=jnp.int32(0),
         n_pt=jnp.int32(0),
     )
+
+
+def latest_kf(m: MapState) -> jnp.ndarray:
+    """Slot of the most recently inserted live keyframe."""
+    return jnp.argmax(jnp.where(m.kf_valid, m.kf_seq, -1)).astype(jnp.int32)
 
 
 def insert_keyframe(
@@ -130,16 +166,21 @@ def insert_keyframe(
     words: jnp.ndarray | None = None,
     nodes: jnp.ndarray | None = None,
 ) -> tuple[MapState, jnp.ndarray]:
-    """Append a keyframe (reference Tracking::CreateNewKeyFrame
-    src/Tracking.cc:1649 + Map::AddKeyFrame).  obs_pt: [N] matched point ids
-    from tracking (-1 where none).  Returns (map, kf_id); if capacity is full
-    the write is dropped (kf_id = max_kf, an invalid row)."""
-    slot = jnp.minimum(m.n_kf, m.max_kf - 1)
-    ok = m.n_kf < m.max_kf
+    """Insert a keyframe into the first FREE slot (reference
+    Tracking::CreateNewKeyFrame src/Tracking.cc:1649 + Map::AddKeyFrame).
+    Culled slots are reclaimed — long sequences stay bounded like the
+    reference's cull-as-you-go map (src/LocalMapping.cc:261,873).  obs_pt:
+    [N] matched point ids from tracking (-1 where none).  Returns (map,
+    kf_id); if every slot is live the write is dropped."""
+    slot = jnp.argmin(m.kf_valid).astype(jnp.int32)  # first invalid slot
+    ok = ~m.kf_valid[slot]
     w = lambda arr, val: arr.at[slot].set(jnp.where(ok, val, arr[slot]))
     m2 = m._replace(
         kf_Tcw=w(m.kf_Tcw, Tcw),
-        kf_valid=m.kf_valid.at[slot].set(ok),
+        kf_valid=m.kf_valid.at[slot].set(ok | m.kf_valid[slot]),
+        kf_seq=w(m.kf_seq, m.n_kf),
+        kf_parent=w(m.kf_parent, jnp.int32(-1)),
+        kf_Tcp=w(m.kf_Tcp, jnp.eye(4, dtype=jnp.float32)),
         kf_frame_id=w(m.kf_frame_id, frame_id.astype(jnp.int32)),
         kf_timestamp=w(m.kf_timestamp, timestamp.astype(jnp.float32)),
         kf_xy=w(m.kf_xy, frame.xy),
@@ -178,8 +219,14 @@ def add_points(
     scale_factors = jnp.asarray(config.orb.scale_factors())
     n_levels = config.orb.n_levels
 
-    create_mask = create_mask & (m.n_pt + jnp.cumsum(create_mask) <= m.max_pt)
-    ids = m.n_pt + jnp.cumsum(create_mask.astype(jnp.int32)) - 1
+    # free-list allocation: creations land in the first free (invalid) point
+    # slots, so culling (pt_valid &= ...) keeps the map bounded over long
+    # sequences instead of the cursor saturating at max_pt
+    M = create_mask.shape[0]
+    free = jnp.nonzero(~m.pt_valid, size=M, fill_value=m.max_pt + 1)[0]
+    rank = jnp.cumsum(create_mask.astype(jnp.int32)) - 1
+    ids = free[jnp.clip(rank, 0, M - 1)].astype(jnp.int32)
+    create_mask = create_mask & (ids <= m.max_pt)
     ids = jnp.where(create_mask, ids, m.max_pt + 1)  # OOB -> dropped scatter
 
     cam_center = se3.inverse(m.kf_Tcw[kf_id])[:3, 3]
@@ -201,7 +248,8 @@ def add_points(
         pt_max_dist=m.pt_max_dist.at[ids].set(max_dist, **mode),
         pt_valid=m.pt_valid.at[ids].set(True, **mode),
         pt_ref_kf=m.pt_ref_kf.at[ids].set(kf_id, **mode),
-        pt_first_kf=m.pt_first_kf.at[ids].set(kf_id, **mode),
+        # birth time as a SEQ number (slot ids are reused; seqs are monotone)
+        pt_first_kf=m.pt_first_kf.at[ids].set(m.kf_seq[kf_id], **mode),
         pt_visible=m.pt_visible.at[ids].set(1, **mode),
         pt_found=m.pt_found.at[ids].set(1, **mode),
         n_pt=m.n_pt + jnp.sum(create_mask).astype(jnp.int32),

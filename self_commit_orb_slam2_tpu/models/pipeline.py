@@ -41,6 +41,7 @@ class TrackCarry(NamedTuple):
     last_kf_frame_id: jnp.ndarray
     prev_inliers: jnp.ndarray   # scalar int32
     state_ok: jnp.ndarray       # scalar bool (False = lost)
+    key: jnp.ndarray            # PRNG key for in-graph relocalization RANSAC
 
 
 class StepInfo(NamedTuple):
@@ -52,8 +53,10 @@ class StepInfo(NamedTuple):
     state_ok: jnp.ndarray     # bool
     n_keyframes: jnp.ndarray
     n_points: jnp.ndarray
-    ref_kf: jnp.ndarray       # latest keyframe id (trajectory reference)
+    ref_kf: jnp.ndarray       # latest keyframe SLOT (for in-map operations)
     ref_kf_Tcw: jnp.ndarray   # its pose at track time (for T_cr bookkeeping)
+    ref_kf_seq: jnp.ndarray   # its SEQ number (stable trajectory reference —
+                              # slots are reused after culling)
 
 
 def init_carry(config: SlamConfig, frame: FrameData) -> TrackCarry:
@@ -67,6 +70,7 @@ def init_carry(config: SlamConfig, frame: FrameData) -> TrackCarry:
         last_kf_frame_id=jnp.int32(0),
         prev_inliers=jnp.int32(0),
         state_ok=jnp.array(True),
+        key=jax.random.PRNGKey(23),
     )
 
 
@@ -86,7 +90,9 @@ def _need_keyframe(config: SlamConfig, m: MapState, carry: TrackCarry,
     attrition = (cfg.kf_attrition_ratio_mono if config.sensor == "mono"
                  else cfg.kf_attrition_ratio)
     c4 = n_inl < (attrition * carry.prev_inliers.astype(jnp.float32))
-    capacity_ok = m.n_kf < m.max_kf
+    # a free (invalid) slot exists — culling reclaims slots, so long
+    # sequences never starve keyframe creation (VERDICT r1 item 2)
+    capacity_ok = ~jnp.all(m.kf_valid)
     need = (c1 | c2 | c3 | c4) & (n_inl >= 15) & capacity_ok
     return need & (not localization_only) & (frames_since >= cfg.min_frames_between_kf)
 
@@ -126,8 +132,41 @@ def track_step(
     lres = tracking.track_local_map(config, m, frame, res.Tcw, res.obs_pt)
     ok = lres.n_inliers >= cfg.min_inliers_local
 
+    # ---- in-graph relocalization on the LOST branch (reference Tracking
+    # falls back to Relocalization() whenever LOST, src/Tracking.cc:523-629,
+    # :2030) — the batched/throughput mode recovers mid-scan instead of
+    # dead-reckoning to the end of the batch.  lax.cond: the EPnP-RANSAC
+    # branch only executes on frames that actually lost tracking.
+    key_next, sub = jax.random.split(carry.key)
+    if config.vocab is not None:
+        from . import relocalization
+
+        def do_reloc(m, frame):
+            r = relocalization.relocalize(config, m, frame, sub)
+            return r.success, r.Tcw, r.obs_pt, r.n_inliers
+
+        def no_reloc(m, frame):
+            return (jnp.array(False), lres.Tcw, lres.obs_pt,
+                    jnp.int32(0))
+
+        r_ok, r_Tcw, r_obs, r_inl = jax.lax.cond(
+            ~ok, do_reloc, no_reloc, m, frame)
+    else:
+        r_ok = jnp.array(False)
+        r_Tcw, r_obs, r_inl = lres.Tcw, lres.obs_pt, jnp.int32(0)
+
+    relocated = ~ok & r_ok
+    ok = ok | r_ok
+    lres = lres._replace(
+        Tcw=jnp.where(relocated, r_Tcw, lres.Tcw),
+        obs_pt=jnp.where(relocated, r_obs, lres.obs_pt),
+        n_inliers=jnp.where(relocated, r_inl, lres.n_inliers),
+    )
+
     new_Tcw = jnp.where(ok, lres.Tcw, carry.velocity @ carry.Tcw)  # dead-reckon if lost
-    new_velocity = jnp.where(ok, new_Tcw @ se3.inverse(carry.Tcw), carry.velocity)
+    new_velocity = jnp.where(
+        relocated, jnp.eye(4, dtype=jnp.float32),
+        jnp.where(ok, new_Tcw @ se3.inverse(carry.Tcw), carry.velocity))
     obs_pt = jnp.where(ok, lres.obs_pt, jnp.full_like(lres.obs_pt, NO_POINT))
 
     need_kf = _need_keyframe(config, m, carry, frame, lres, localization_only) & ok
@@ -155,8 +194,9 @@ def track_step(
         last_kf_frame_id=jnp.where(need_kf, carry.frame_id, carry.last_kf_frame_id),
         prev_inliers=jnp.where(ok, lres.n_inliers, carry.prev_inliers),
         state_ok=ok,
+        key=key_next,
     )
-    ref_kf = jnp.maximum(m.n_kf - 1, 0)
+    ref_kf = ms.latest_kf(m)
     info = StepInfo(
         Tcw=new_Tcw,
         n_inliers=lres.n_inliers,
@@ -166,12 +206,13 @@ def track_step(
         n_points=jnp.sum(m.pt_valid).astype(jnp.int32),
         ref_kf=ref_kf,
         ref_kf_Tcw=m.kf_Tcw[ref_kf],
+        ref_kf_seq=m.kf_seq[ref_kf],
     )
     return m, carry_out, info
 
 
 def pack_infos(infos: StepInfo) -> jnp.ndarray:
-    """Flatten a (stacked) StepInfo into ONE [B, 38] f32 array.
+    """Flatten a (stacked) StepInfo into ONE [B, 39] f32 array.
 
     A remote-attached TPU pays a full round trip per fetched BUFFER, not per
     byte; packing the per-frame summary into a single array makes the host
@@ -187,6 +228,7 @@ def pack_infos(infos: StepInfo) -> jnp.ndarray:
         to2d(infos.n_keyframes),   # 35
         to2d(infos.n_points),      # 36
         to2d(infos.ref_kf),        # 37
+        to2d(infos.ref_kf_seq),    # 38
     ], axis=1)
 
 
@@ -204,6 +246,7 @@ def unpack_infos(arr) -> StepInfo:
         n_points=arr[:, 36].astype(np.int32),
         ref_kf=arr[:, 37].astype(np.int32),
         ref_kf_Tcw=arr[:, 16:32].reshape(B, 4, 4),
+        ref_kf_seq=arr[:, 38].astype(np.int32),
     )
 
 
@@ -232,7 +275,7 @@ def step_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
 
 def _skip_info(m: MapState, carry: TrackCarry) -> StepInfo:
     """StepInfo for a padded (invalid) frame: carry state echoed, no KF."""
-    ref_kf = jnp.maximum(m.n_kf - 1, 0)
+    ref_kf = ms.latest_kf(m)
     return StepInfo(
         Tcw=carry.Tcw,
         n_inliers=jnp.int32(0),
@@ -242,6 +285,7 @@ def _skip_info(m: MapState, carry: TrackCarry) -> StepInfo:
         n_points=jnp.sum(m.pt_valid).astype(jnp.int32),
         ref_kf=ref_kf,
         ref_kf_Tcw=m.kf_Tcw[ref_kf],
+        ref_kf_seq=m.kf_seq[ref_kf],
     )
 
 

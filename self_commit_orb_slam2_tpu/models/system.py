@@ -226,7 +226,7 @@ class System:
                       else jnp.concatenate(packed_parts, axis=0))
         infos = pipeline.unpack_infos(np.asarray(packed_all))
         poses, refs, ref_poses, created, state_ok = (
-            infos.Tcw, infos.ref_kf, infos.ref_kf_Tcw, infos.created_kf,
+            infos.Tcw, infos.ref_kf_seq, infos.ref_kf_Tcw, infos.created_kf,
             infos.state_ok,
         )
         for b in range(B):
@@ -242,10 +242,10 @@ class System:
         if created.any() and self._loop_closer is not None:
             # run loop detection for EVERY keyframe created during the batch
             # (the reference's LoopClosing thread consumes its queue one KF
-            # at a time, LoopClosing.cc:114-130) — each created frame's KF id
-            # is that step's keyframe count - 1
-            for kf_id in np.asarray(infos.n_keyframes)[np.asarray(created)] - 1:
-                self.map = self._loop_closer.process(self.map, int(kf_id))
+            # at a time, LoopClosing.cc:114-130) — each created frame's
+            # StepInfo carries the inserted keyframe's slot
+            for kf_slot in np.asarray(infos.ref_kf)[np.asarray(created)]:
+                self.map = self._loop_closer.process(self.map, int(kf_slot))
         return poses
 
     def activate_localization_mode(self) -> None:
@@ -270,22 +270,34 @@ class System:
     def get_trajectory(self) -> tuple[np.ndarray, np.ndarray]:
         """(timestamps, poses_cw) with loop-closure corrections applied:
         each frame's T_cr is composed with its reference keyframe's CURRENT
-        (possibly corrected) pose."""
+        (possibly corrected) pose.  References are SEQ numbers: live ones
+        resolve via the slot map; culled ones walk the archived parent chain
+        (reference SaveTrajectoryTUM, src/System.cc:438-460)."""
         kf_poses = np.asarray(self.map.kf_Tcw)
         kf_valid = np.asarray(self.map.kf_valid)
-        kf_parent = np.asarray(self.map.kf_parent)
-        kf_Tcp = np.asarray(self.map.kf_Tcp)
+        kf_seq = np.asarray(self.map.kf_seq)
+        cull_seq = np.asarray(self.map.cull_seq)
+        cull_parent = np.asarray(self.map.cull_parent_seq)
+        cull_Tcp = np.asarray(self.map.cull_Tcp)
+        seq_to_slot = {int(s): i for i, s in enumerate(kf_seq)
+                       if kf_valid[i] and s >= 0}
+        seq_to_arch = {int(s): i for i, s in enumerate(cull_seq) if s >= 0}
 
-        def resolve(ref: int) -> np.ndarray:
-            # walk the parent chain for culled keyframes (reference
-            # SaveTrajectoryTUM, src/System.cc:438-460)
+        def resolve(seq: int) -> np.ndarray:
             T = np.eye(4)
             guard = 0
-            while not kf_valid[ref] and kf_parent[ref] >= 0 and guard < 64:
-                T = T @ kf_Tcp[ref]
-                ref = int(kf_parent[ref])
+            while seq not in seq_to_slot and guard < 64:
+                a = seq_to_arch.get(seq)
+                if a is None:
+                    # unresolvable (archive ring overwrote it): nearest older
+                    # live keyframe is the best remaining anchor
+                    older = [s for s in seq_to_slot if s <= seq]
+                    seq = max(older) if older else min(seq_to_slot)
+                    break
+                T = T @ cull_Tcp[a]
+                seq = int(cull_parent[a])
                 guard += 1
-            return T @ kf_poses[ref]
+            return T @ kf_poses[seq_to_slot[seq]]
 
         ts = np.array([t for t, _, _ in self._rel_trajectory])
         poses = np.stack([
@@ -385,9 +397,9 @@ class System:
                     self.Tcw = reloc.Tcw
                     self.state = STATE_OK
             if bool(info.created_kf) and self._loop_closer is not None:
-                self.map = self._loop_closer.process(self.map, self.map.n_kf - 1)
+                self.map = self._loop_closer.process(self.map, int(info.ref_kf))
             Tcr = np.asarray(self.Tcw) @ np.linalg.inv(np.asarray(info.ref_kf_Tcw))
-            self._rel_trajectory.append((timestamp, int(info.ref_kf), Tcr))
+            self._rel_trajectory.append((timestamp, int(info.ref_kf_seq), Tcr))
 
         Tcw_np = np.asarray(self.Tcw)
         self.trajectory.append((timestamp, Tcw_np))

@@ -197,9 +197,20 @@ def track_local_map(
 
     # Reference-keyframe statistics for the keyframe decision
     # (reference Tracking::NeedNewKeyFrame src/Tracking.cc:1509-1648).
-    counts_after = ms.covisibility_row(m, obs_out)
-    ref_kf = jnp.argmax(counts_after).astype(jnp.int32)
-    ref_shared = counts_after[ref_kf]
+    # The reference picks mpReferenceKF from the PRE-search vote counts
+    # (UpdateLocalKeyFrames runs at the top of TrackLocalMap,
+    # Tracking.cc:1895-1964), so reuse `counts` instead of a second O(K*N)
+    # covisibility pass; only the shared count with that one keyframe is
+    # recomputed post-optimization (one [N] indicator gather).
+    ref_kf = jnp.argmax(counts).astype(jnp.int32)
+    out_ind = jnp.zeros(m.max_pt + 2, bool).at[
+        jnp.where(obs_out >= 0, obs_out, m.max_pt + 1)
+    ].set(True, mode="drop")
+    ref_row = m.kf_obs_pt[ref_kf]
+    ref_shared = jnp.sum(
+        out_ind[jnp.clip(ref_row, 0, m.max_pt + 1)]
+        & (ref_row >= 0) & m.kf_feat_valid[ref_kf]
+    ).astype(jnp.int32)
     # nRefMatches: the reference counts the ref KF's points tracked by at
     # least minObs keyframes (KeyFrame::TrackedMapPoints, minObs = 2 while
     # the map is young else 3 — Tracking.cc:1545-1552).

@@ -197,3 +197,45 @@ def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity of query v [W] vs database rows [K, W]:
     s = 1 - 0.5 * sum|v - w| in [0, 1] (ScoringObject.cpp L1Scoring)."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(db - v[None, :]), axis=-1)
+
+
+# ---------------------------------------------------------------- sparse path
+# A dense [K, W] database caps the vocabulary at a few thousand words; the
+# reference's ORBvoc is k=10 L=6 (~1M leaves).  The sparse form stores each
+# frame's TOP-T distinct (word id, weight) pairs — memory is O(K*T),
+# independent of W, so 10^5..10^6-word vocabularies cost the same as small
+# ones.  For two L1-normalized non-negative vectors,
+#     1 - 0.5*sum|v - w|  ==  sum_i min(v_i, w_i)  over shared words,
+# which the TPU computes as one [T, T] id-match masked min-sum per row.
+
+
+def sparse_bow(vocab: Vocabulary, words: jnp.ndarray, T: int):
+    """[N] word ids -> (ids [T], weights [T]) sparse L1-normalized TF-IDF.
+    ids are -1 padded; jit-safe (static T)."""
+    ids, counts = jnp.unique(
+        jnp.where(words >= 0, words, jnp.int32(1 << 30)),
+        size=T, fill_value=jnp.int32(1 << 30), return_counts=True,
+    )
+    ok = ids < (1 << 30)
+    vals = jnp.where(
+        ok, counts.astype(jnp.float32)
+        * vocab.word_weight[jnp.clip(ids, 0, vocab.n_words - 1)], 0.0)
+    vals = vals / jnp.maximum(jnp.sum(vals), 1e-9)
+    return jnp.where(ok, ids, -1).astype(jnp.int32), vals
+
+
+def sparse_l1_score(q_ids: jnp.ndarray, q_vals: jnp.ndarray,
+                    db_ids: jnp.ndarray, db_vals: jnp.ndarray) -> jnp.ndarray:
+    """Query (ids [T], vals [T]) vs database rows (ids [K, T], vals [K, T]):
+    s[k] = sum over shared words of min(q, w) — identical to l1_score on the
+    densified vectors."""
+    eq = (q_ids[None, :, None] == db_ids[:, None, :]) & (q_ids >= 0)[None, :, None]
+    mins = jnp.minimum(q_vals[None, :, None], db_vals[:, None, :])
+    return jnp.sum(jnp.where(eq, mins, 0.0), axis=(1, 2))
+
+
+def sparse_common_words(q_ids: jnp.ndarray, db_ids: jnp.ndarray) -> jnp.ndarray:
+    """[K] count of distinct shared words (KeyFrameDatabase share-word
+    filter, reference KeyFrameDatabase.cc:104-160)."""
+    eq = (q_ids[None, :, None] == db_ids[:, None, :]) & (q_ids >= 0)[None, :, None]
+    return jnp.sum(jnp.any(eq, axis=2), axis=1).astype(jnp.int32)

@@ -44,10 +44,26 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
-    elif num_processes in (None, 1) and jax.process_count() == 1:
-        _initialized = True  # single process: nothing to wire
-        return
-    jax.distributed.initialize(**kwargs)
+    else:
+        # Decide single- vs multi-process WITHOUT touching the backend:
+        # jax.process_count() would initialize XLA, after which
+        # jax.distributed.initialize() raises on exactly the multi-host
+        # environment this path targets.  Env markers cover TPU pods
+        # (TPU_WORKER_HOSTNAMES / MEGASCALE_*) and explicit JAX coordinators.
+        import os
+
+        markers = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                   "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "CLOUD_TPU_TASK_ID")
+        if num_processes in (None, 1) and not any(os.environ.get(k) for k in markers):
+            _initialized = True  # single process: nothing to wire
+            return
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        # backend already initialized (or single-process runtime): fall
+        # through — collectives still work within the existing runtime
+        pass
     _initialized = True
 
 

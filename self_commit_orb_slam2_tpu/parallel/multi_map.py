@@ -71,9 +71,19 @@ def build_essential_edges(
     extra_i: np.ndarray | None = None,   # [S, L] caller loop edges
     extra_j: np.ndarray | None = None,
     min_weight: int = MIN_COVIS_WEIGHT,
+    extra_meas: np.ndarray | None = None,  # [S, L, 8] Sim3 measurements
 ):
-    """Sequential + strong-covisibility (+ loop) edges per map, measured from
-    the CURRENT poses, padded to edge_cap (divisible by the blk width)."""
+    """Sequential + strong-covisibility (+ loop) edges per map, padded to
+    edge_cap (divisible by the blk width).
+
+    Non-loop edges are measured from the CURRENT poses — their residuals are
+    zero at initialization, so they act purely as stiffness holding the chain
+    together.  Loop edges MUST carry their own measurement (`extra_meas`,
+    e.g. the Sim3 from loop detection): the reference's
+    OptimizeEssentialGraph corrects drift precisely because loop-edge
+    measurements come from the Sim3 solver, not the drifted poses
+    (src/Optimizer.cc:1100-1265).  Loop edges without a measurement are
+    rejected — they would be exact no-ops."""
     S, K = m.kf_valid.shape
     W = np.asarray(_covis_weights(m))
     Tcw = np.asarray(m.kf_Tcw)
@@ -85,23 +95,30 @@ def build_essential_edges(
                    (S, edge_cap, 1))
     ok = np.zeros((S, edge_cap), bool)
     for s in range(S):
-        pairs = []
+        pairs = []  # (a, b, measurement-or-None)
         live = np.nonzero(valid[s])[0]
         for a, b in zip(live[1:], live[:-1]):       # spanning/sequential chain
-            pairs.append((int(a), int(b)))
+            pairs.append((int(a), int(b), None))
         strong = np.argwhere(np.triu(W[s]) >= min_weight)
         for a, b in strong:
             if valid[s, a] and valid[s, b] and abs(int(a) - int(b)) > 1:
-                pairs.append((int(a), int(b)))
+                pairs.append((int(a), int(b), None))
         if extra_i is not None:
-            for a, b in zip(extra_i[s], extra_j[s]):
+            if extra_meas is None:
+                raise ValueError(
+                    "loop edges need explicit Sim3 measurements (extra_meas); "
+                    "measuring them from the drifted poses makes the pose "
+                    "graph a no-op")
+            for le, (a, b) in enumerate(zip(extra_i[s], extra_j[s])):
                 if a >= 0 and b >= 0:
-                    pairs.append((int(a), int(b)))
+                    pairs.append((int(a), int(b), np.asarray(extra_meas[s, le])))
         pairs = pairs[:edge_cap]
-        for e, (a, b) in enumerate(pairs):
+        for e, (a, b, mm) in enumerate(pairs):
             ei[s, e], ej[s, e] = a, b
-            rel = Tcw[s, a] @ np.linalg.inv(Tcw[s, b])
-            meas[s, e] = np.asarray(sim3.from_se3(jnp.asarray(rel)))
+            if mm is None:
+                rel = Tcw[s, a] @ np.linalg.inv(Tcw[s, b])
+                mm = np.asarray(sim3.from_se3(jnp.asarray(rel)))
+            meas[s, e] = mm
             ok[s, e] = True
     return jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(meas), jnp.asarray(ok)
 
@@ -130,7 +147,7 @@ def joint_refine(
     mesh: Mesh,
     config: SlamConfig,
     maps: Sequence[MapState],
-    loop_edges: tuple[np.ndarray, np.ndarray] | None = None,
+    loop_edges: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     edge_cap: int = 256,
     pg_iters: int = 20,
     ba_iters: int = 10,
@@ -141,8 +158,9 @@ def joint_refine(
     m = stack_maps(maps)
 
     if run_pose_graph:
-        li, lj = loop_edges if loop_edges is not None else (None, None)
-        ei, ej, meas, ok = build_essential_edges(m, edge_cap, li, lj)
+        li, lj, lm = loop_edges if loop_edges is not None else (None, None, None)
+        ei, ej, meas, ok = build_essential_edges(m, edge_cap, li, lj,
+                                                 extra_meas=lm)
         S0 = jax.vmap(jax.vmap(sim3.from_se3))(m.kf_Tcw)
         first = jnp.argmax(m.kf_valid, axis=1)
         K = m.kf_valid.shape[1]

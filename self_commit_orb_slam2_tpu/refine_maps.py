@@ -21,9 +21,10 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("maps", nargs="+", help="map checkpoint npz files")
-    ap.add_argument("--settings", default=None,
+    ap.add_argument("--settings", required=True,
                     help="reference-style YAML with the camera parameters the "
-                    "maps were built with")
+                    "maps were built with (required: refining against default "
+                    "intrinsics silently corrupts the maps)")
     ap.add_argument("--mesh", default=None,
                     help="MAPxBLK device grid, e.g. 2x4 (default: all devices "
                     "on the blk axis of a 1xN mesh)")

@@ -94,3 +94,41 @@ def test_place_recognition_on_images():
     # neighbors (frames 1,2) beat the far frames (14,15)
     assert s[1] > s[3] and s[2] > s[3], s
     assert s[1] > s[4] and s[2] > s[4], s
+
+
+def test_sparse_scoring_matches_dense():
+    """sparse_bow/sparse_l1_score must reproduce the dense l1_score exactly —
+    the sparse path is what scales the database to ORBvoc-sized (10^5-10^6
+    word) vocabularies where a dense [K, W] store is impossible."""
+    import numpy as np
+    import jax.numpy as jnp
+    from self_commit_orb_slam2_tpu.ops import bow as bow_ops
+
+    rng = np.random.default_rng(0)
+    descs = rng.integers(0, 2**32, (600, 8), dtype=np.uint32)
+    vocab = bow_ops.train_vocabulary(descs, k=5, L=3, seed=1)
+    T = 128
+
+    def frame_vecs(seed):
+        d = rng.integers(0, 2**32, (90, 8), dtype=np.uint32)
+        words, _ = bow_ops.transform(vocab, jnp.asarray(d),
+                                     jnp.ones(len(d), bool))
+        dense = bow_ops.bow_vector(vocab, words)
+        ids, vals = bow_ops.sparse_bow(vocab, words, T)
+        return words, dense, ids, vals
+
+    q_words, q_dense, q_ids, q_vals = frame_vecs(1)
+    rows = [frame_vecs(i + 2) for i in range(6)]
+    db_dense = jnp.stack([r[1] for r in rows])
+    db_ids = jnp.stack([r[2] for r in rows])
+    db_vals = jnp.stack([r[3] for r in rows])
+
+    want = np.asarray(bow_ops.l1_score(q_dense, db_dense))
+    got = np.asarray(bow_ops.sparse_l1_score(q_ids, q_vals, db_ids, db_vals))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # shared-word counts match the dense formulation too
+    want_cw = np.asarray(jnp.sum((q_dense > 0)[None, :] & (db_dense > 0),
+                                 axis=1))
+    got_cw = np.asarray(bow_ops.sparse_common_words(q_ids, db_ids))
+    np.testing.assert_array_equal(got_cw, want_cw)

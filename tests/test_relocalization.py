@@ -65,3 +65,32 @@ def test_relocalization_after_kidnap(vocab_and_seq):
     c_new = -T[:3, :3].T @ T[:3, 3]
     c_old = -T4[:3, :3].T @ T4[:3, 3]
     assert np.linalg.norm(c_new - c_old) < 0.1, np.linalg.norm(c_new - c_old)
+
+
+@pytest.mark.slow
+def test_relocalization_in_batched_mode(vocab_and_seq):
+    """Mid-batch kidnap recovery: the in-graph reloc branch (pipeline
+    track_step's lax.cond on the LOST edge) must recover INSIDE one
+    track_batch call — the benched/throughput mode no longer dead-reckons
+    to the end of the batch (reference Tracking.cc:523-629,:2030)."""
+    vocab, seq = vocab_and_seq
+    slam = System(make_config(vocab))
+    # map the scene with per-frame calls first
+    for i in range(14):
+        slam.track_rgbd(seq.images[i], seq.depths[i], float(i) / 30.0)
+    assert slam.state == STATE_OK
+
+    # one batched call: 3 blank frames (kidnap) then mapped views again
+    imgs = np.stack([np.zeros_like(seq.images[0])] * 3
+                    + [seq.images[4]] * 3 + [seq.images[5]] * 2)
+    deps = np.stack([np.zeros_like(seq.depths[0])] * 3
+                    + [seq.depths[4]] * 3 + [seq.depths[5]] * 2)
+    ts = np.arange(8) / 30.0 + 1.0
+    poses = slam.track_batch_rgbd(imgs, deps, ts)
+    assert slam.state == STATE_OK, "batched mode failed to relocalize in-graph"
+    # recovered pose near the original frame-4 estimate
+    T4 = slam.trajectory[4][1]
+    T = poses[-3]
+    c_new = -T[:3, :3].T @ T[:3, 3]
+    c_old = -T4[:3, :3].T @ T4[:3, 3]
+    assert np.linalg.norm(c_new - c_old) < 0.15, np.linalg.norm(c_new - c_old)
