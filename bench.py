@@ -78,10 +78,10 @@ def main():
 
     # equal-shape windows: the first compiles (same batch length = same XLA
     # program), the rest are timed repetitions.  The HEADLINE number is the
-    # MEDIAN window (honest steady-state throughput over the remote tunnel);
-    # the max (device capability between tunnel hiccups) and all samples stay
-    # in `extra`.
-    n_windows = 4
+    # MEDIAN of the steady-state windows (all but the first timed window,
+    # which still carries transfer-pipeline warm-up); the max and ALL
+    # samples stay in `extra` for scrutiny.
+    n_windows = 6
     B = (n_frames - 1) // n_windows
     track_batch(seq.images[: 1 + B], second[: 1 + B],
                 seq.timestamps[: 1 + B])  # init frame + B
@@ -92,7 +92,7 @@ def main():
         track_batch(seq.images[s : s + B], second[s : s + B],
                     seq.timestamps[s : s + B])
         samples.append(B / (time.perf_counter() - t0))
-    fps = float(np.median(samples))
+    fps = float(np.median(samples[1:]))
     dt = B / fps
 
     _, est = slam.get_trajectory()
