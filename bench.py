@@ -60,7 +60,8 @@ def main():
     sensor = "stereo" if ("--sensor=stereo" in sys.argv or kitti_scale) \
         else "rgbd"
 
-    seq = generate_sequence(n_frames=n_frames, width=width, height=height, seed=5,
+    seq = generate_sequence(n_frames=n_frames, width=width, height=height, fx=fx,
+                            seed=5,
                             stereo_baseline=0.1 if sensor == "stereo" else 0.0)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
