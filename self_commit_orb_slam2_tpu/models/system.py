@@ -204,7 +204,17 @@ class System:
         ts = np.asarray(timestamps[i0:], np.float32)
         B = len(ts)
         C = chunk or min(B, self._batch_chunk)
+        # Per-CHUNK loop closing (reference LoopClosing consumes its queue
+        # within ~one keyframe of insertion, src/LoopClosing.cc:114-130):
+        # when place recognition is enabled, each chunk's StepInfo is fetched
+        # one chunk behind the dispatch (so the transfer overlaps the next
+        # chunk's compute) and any created keyframes run loop detection
+        # immediately — corrections land within ~2 chunks of the keyframe
+        # instead of after the entire batch.
+        per_chunk_loops = (self._loop_closer is not None
+                           and self._loop_closer.enabled)
         packed_parts = []
+        pending = None
         for k in range(0, B, C):
             n_live = min(C, B - k)
             pad = C - n_live
@@ -221,10 +231,21 @@ class System:
             self.map, self.carry, packed = batch(
                 self.map, self.carry, jnp.asarray(buf),
             )
-            packed_parts.append(packed if not pad else packed[:n_live])
-        packed_all = (packed_parts[0] if len(packed_parts) == 1
-                      else jnp.concatenate(packed_parts, axis=0))
-        infos = pipeline.unpack_infos(np.asarray(packed_all))
+            packed = packed if not pad else packed[:n_live]
+            if per_chunk_loops:
+                if pending is not None:
+                    packed_parts.append(self._consume_chunk_infos(pending))
+                pending = packed
+            else:
+                packed_parts.append(packed)
+        if per_chunk_loops:
+            packed_parts.append(self._consume_chunk_infos(pending))
+            packed_all = np.concatenate(packed_parts, axis=0)
+        else:
+            packed_all = np.asarray(
+                packed_parts[0] if len(packed_parts) == 1
+                else jnp.concatenate(packed_parts, axis=0))
+        infos = pipeline.unpack_infos(packed_all)
         poses, refs, ref_poses, created, state_ok = (
             infos.Tcw, infos.ref_kf_seq, infos.ref_kf_Tcw, infos.created_kf,
             infos.state_ok,
@@ -239,14 +260,31 @@ class System:
         self.state = STATE_OK if bool(state_ok[-1]) else STATE_LOST
         dt = (time.perf_counter() - t0) / max(B, 1)
         self.timings.extend([dt] * B)
-        if created.any() and self._loop_closer is not None:
-            # run loop detection for EVERY keyframe created during the batch
-            # (the reference's LoopClosing thread consumes its queue one KF
-            # at a time, LoopClosing.cc:114-130) — each created frame's
-            # StepInfo carries the inserted keyframe's slot
-            for kf_slot in np.asarray(infos.ref_kf)[np.asarray(created)]:
-                self.map = self._loop_closer.process(self.map, int(kf_slot))
         return poses
+
+    def _consume_chunk_infos(self, packed) -> np.ndarray:
+        """Fetch one chunk's packed StepInfo and run loop detection for every
+        keyframe created in it.  Keyframes are identified by SEQ number —
+        with free-list slot reuse a slot can be culled and reassigned between
+        creation and processing, so the slot is re-resolved against the
+        current map and seqs no longer live are skipped."""
+        arr = np.asarray(packed)
+        infos = pipeline.unpack_infos(arr)
+        created = np.nonzero(infos.created_kf)[0]
+        if len(created):
+            kf_seq, kf_valid = jax.device_get(
+                (self.map.kf_seq, self.map.kf_valid))
+            for b in created:
+                seq = int(infos.ref_kf_seq[b])
+                slot = int(infos.ref_kf[b])
+                if (not 0 <= slot < len(kf_seq)) or kf_seq[slot] != seq \
+                        or not kf_valid[slot]:
+                    live = np.nonzero((kf_seq == seq) & kf_valid)[0]
+                    if len(live) == 0:
+                        continue  # culled before loop processing could run
+                    slot = int(live[0])
+                self.map = self._loop_closer.process(self.map, slot)
+        return arr
 
     def activate_localization_mode(self) -> None:
         """Reference System::ActivateLocalizationMode (src/System.cc:346)."""
@@ -289,14 +327,16 @@ class System:
             while seq not in seq_to_slot and guard < 64:
                 a = seq_to_arch.get(seq)
                 if a is None:
-                    # unresolvable (archive ring overwrote it): nearest older
-                    # live keyframe is the best remaining anchor
-                    older = [s for s in seq_to_slot if s <= seq]
-                    seq = max(older) if older else min(seq_to_slot)
                     break
                 T = T @ cull_Tcp[a]
                 seq = int(cull_parent[a])
                 guard += 1
+            if seq not in seq_to_slot:
+                # unresolvable (archive ring overwrote it, or the parent
+                # chain is deeper than the hop guard): nearest older live
+                # keyframe is the best remaining anchor
+                older = [s for s in seq_to_slot if s <= seq]
+                seq = max(older) if older else min(seq_to_slot)
             return T @ kf_poses[seq_to_slot[seq]]
 
         ts = np.array([t for t, _, _ in self._rel_trajectory])

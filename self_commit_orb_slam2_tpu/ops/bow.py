@@ -211,17 +211,36 @@ def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
 
 def sparse_bow(vocab: Vocabulary, words: jnp.ndarray, T: int):
     """[N] word ids -> (ids [T], weights [T]) sparse L1-normalized TF-IDF.
-    ids are -1 padded; jit-safe (static T)."""
+    ids are -1 padded; jit-safe (static T).
+
+    Normalization runs over ALL distinct words first, then the TOP-T entries
+    BY WEIGHT are kept (not the T smallest ids — a frame with more than T
+    distinct words would otherwise silently drop its high-id words).  With
+    <= T distinct words the result equals the dense vector exactly; beyond
+    that the lowest-weight words are dropped, so sparse_l1_score is a tight
+    lower bound of the dense score."""
+    N = words.shape[0]
     ids, counts = jnp.unique(
         jnp.where(words >= 0, words, jnp.int32(1 << 30)),
-        size=T, fill_value=jnp.int32(1 << 30), return_counts=True,
+        size=N, fill_value=jnp.int32(1 << 30), return_counts=True,
     )
     ok = ids < (1 << 30)
     vals = jnp.where(
         ok, counts.astype(jnp.float32)
         * vocab.word_weight[jnp.clip(ids, 0, vocab.n_words - 1)], 0.0)
     vals = vals / jnp.maximum(jnp.sum(vals), 1e-9)
-    return jnp.where(ok, ids, -1).astype(jnp.int32), vals
+    k = min(T, N)
+    top_v, top_i = jax.lax.top_k(vals, k)
+    top_ids = jnp.where(top_v > 0, ids[top_i], jnp.int32(1 << 30))
+    if T > N:
+        top_ids = jnp.pad(top_ids, (0, T - N), constant_values=1 << 30)
+        top_v = jnp.pad(top_v, (0, T - N))
+    # sort by word id so downstream id-match joins see a canonical order
+    order = jnp.argsort(top_ids)
+    top_ids, top_v = top_ids[order], top_v[order]
+    ok_t = top_ids < (1 << 30)
+    return (jnp.where(ok_t, top_ids, -1).astype(jnp.int32),
+            jnp.where(ok_t, top_v, 0.0))
 
 
 def sparse_l1_score(q_ids: jnp.ndarray, q_vals: jnp.ndarray,

@@ -60,10 +60,20 @@ def initialize(coordinator_address: Optional[str] = None,
             return
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        # backend already initialized (or single-process runtime): fall
-        # through — collectives still work within the existing runtime
-        pass
+    except RuntimeError as e:
+        # Only the benign double-init cases fall through (distributed service
+        # already up, or the XLA backend was touched first in what is in fact
+        # a single-process runtime — e.g. a dev box whose env carries pod-ish
+        # markers).  Every other failure — and any failure when the caller
+        # explicitly asked for >1 processes — is a real multi-host bring-up
+        # error: silently degrading a pod job to uncoordinated single-process
+        # behavior would corrupt it.
+        msg = str(e).lower()
+        benign = ("already initialized" in msg
+                  or ("before any jax calls" in msg
+                      and (num_processes in (None, 1))))
+        if not benign:
+            raise
     _initialized = True
 
 
