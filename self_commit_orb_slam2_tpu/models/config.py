@@ -39,6 +39,13 @@ class Capacities(NamedTuple):
     cull_log: int = 2048
     # Persisted loop-edge capacity (KeyFrame::AddLoopEdge analogue)
     loop_log: int = 32
+    # Sparse BoW entries kept per keyframe (top-T words by TF-IDF weight,
+    # ops/bow.py sparse_bow).  Makes the place-recognition database O(K*T)
+    # independent of vocabulary size (reference ORBvoc is ~1M leaves, DBoW2
+    # TemplatedVocabulary.h:1338).  Exact-equal to dense scoring while a
+    # frame has <= T distinct words; beyond that the LOWEST-IDF words are
+    # dropped (a tight lower bound of the dense score).
+    bow_top: int = 512
 
 
 class TrackingConfig(NamedTuple):
@@ -117,6 +124,12 @@ class SlamConfig(NamedTuple):
     @property
     def ur_weight(self) -> float:
         return self.tracking.rgbd_ur_weight if self.sensor == "rgbd" else 1.0
+
+    @property
+    def bow_top(self) -> int:
+        """Sparse-BoW row width: capped by the feature budget (a frame can
+        never have more distinct words than features)."""
+        return min(self.caps.bow_top, self.orb.feat_capacity())
 
     @property
     def th_depth(self) -> float:

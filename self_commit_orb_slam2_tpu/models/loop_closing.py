@@ -177,7 +177,9 @@ def detect_and_verify(
     # ---- candidate retrieval (DetectLoop + DetectLoopCandidates) ----
     counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
     covis = counts > 0
-    scores = bow_ops.l1_score(m.kf_bow[kf_id], m.kf_bow)
+    q_ids, q_vals = m.kf_bow_ids[kf_id], m.kf_bow_vals[kf_id]
+    scores = bow_ops.sparse_l1_score(q_ids, q_vals, m.kf_bow_ids,
+                                     m.kf_bow_vals)
     covis_scores = jnp.where(covis & m.kf_valid, scores, jnp.inf)
     # with no valid covisible scores fall back to the absolute floor instead
     # of an impossible threshold (reference LoopClosing.cc:159-179)
@@ -190,8 +192,7 @@ def detect_and_verify(
     )
     # shared-word filter (KeyFrameDatabase.cc:104-160): candidates must share
     # >= 0.8 * maxCommonWords words with the query
-    qw = m.kf_bow[kf_id] > 0
-    common = jnp.sum(qw[None, :] & (m.kf_bow > 0), axis=1)
+    common = bow_ops.sparse_common_words(q_ids, m.kf_bow_ids)
     max_common = jnp.max(jnp.where(eligible, common, 0))
     word_ok = common.astype(jnp.float32) >= 0.8 * max_common.astype(jnp.float32)
     cand0 = eligible & word_ok & (scores >= jnp.maximum(min_score, 0.015))

@@ -47,7 +47,13 @@ class MapState(NamedTuple):
     kf_desc: jnp.ndarray       # [K, N, 8] uint32
     kf_feat_valid: jnp.ndarray # [K, N] bool
     kf_obs_pt: jnp.ndarray     # [K, N] int32 point id (-1 = none)
-    kf_bow: jnp.ndarray        # [K, W] dense TF-IDF vectors (W=1 if no vocab)
+    # Sparse BoW vectors: per keyframe the top-T (word id, weight) pairs,
+    # id-sorted, -1/0 padded (ops/bow.py sparse_bow).  O(K*T) memory makes
+    # the database independent of vocabulary size — the reference's ORBvoc
+    # is ~1M leaves (DBoW2 TemplatedVocabulary.h:1338) and a dense [K, W]
+    # table would be ~256MB at that scale.
+    kf_bow_ids: jnp.ndarray    # [K, T] int32 word ids (-1 pad; T=1 if no vocab)
+    kf_bow_vals: jnp.ndarray   # [K, T] float32 TF-IDF weights
     kf_parent: jnp.ndarray     # [K] int32: parent after culling (-1 = live)
     kf_Tcp: jnp.ndarray        # [K, 4, 4] relative pose to parent at cull time
     kf_word: jnp.ndarray       # [K, N] int32 BoW word ids (-1 = none)
@@ -104,7 +110,7 @@ def empty_map(config: SlamConfig) -> MapState:
     K = config.caps.max_keyframes
     P = config.caps.max_points
     N = config.orb.feat_capacity()
-    W = config.vocab.n_words if config.vocab is not None else 1
+    T = config.bow_top if config.vocab is not None else 1
     f32 = jnp.float32
     return MapState(
         kf_Tcw=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
@@ -119,7 +125,8 @@ def empty_map(config: SlamConfig) -> MapState:
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs_pt=jnp.full((K, N), NO_POINT, jnp.int32),
-        kf_bow=jnp.zeros((K, W), f32),
+        kf_bow_ids=jnp.full((K, T), -1, jnp.int32),
+        kf_bow_vals=jnp.zeros((K, T), f32),
         kf_parent=jnp.full(K, -1, jnp.int32),
         kf_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         kf_word=jnp.full((K, N), -1, jnp.int32),
@@ -162,7 +169,7 @@ def insert_keyframe(
     frame_id: jnp.ndarray,
     timestamp: jnp.ndarray,
     obs_pt: jnp.ndarray,
-    bow: jnp.ndarray | None = None,
+    bow: tuple | None = None,   # sparse (ids [T], vals [T]) from ops/bow.sparse_bow
     words: jnp.ndarray | None = None,
     nodes: jnp.ndarray | None = None,
 ) -> tuple[MapState, jnp.ndarray]:
@@ -191,7 +198,10 @@ def insert_keyframe(
         kf_desc=w(m.kf_desc, frame.desc),
         kf_feat_valid=w(m.kf_feat_valid, frame.valid),
         kf_obs_pt=w(m.kf_obs_pt, jnp.where(frame.valid, obs_pt, NO_POINT)),
-        kf_bow=w(m.kf_bow, bow) if bow is not None else m.kf_bow,
+        kf_bow_ids=(w(m.kf_bow_ids, bow[0]) if bow is not None
+                    else m.kf_bow_ids),
+        kf_bow_vals=(w(m.kf_bow_vals, bow[1]) if bow is not None
+                     else m.kf_bow_vals),
         kf_word=w(m.kf_word, words) if words is not None else m.kf_word,
         kf_node=w(m.kf_node, nodes) if nodes is not None else m.kf_node,
         n_kf=m.n_kf + ok.astype(jnp.int32),

@@ -235,15 +235,17 @@ def track_local_map(
 
 
 def _frame_bow(config: SlamConfig, frame: FrameData):
-    """(bow, words, nodes) for keyframe insertion; None triple without vocab.
-    Reference: KeyFrame::ComputeBoW (src/KeyFrame.cc:79-95)."""
+    """(sparse bow (ids, vals), words, nodes) for keyframe insertion; None
+    triple without vocab.  Reference: KeyFrame::ComputeBoW
+    (src/KeyFrame.cc:79-95); the sparse pair is our inverted-file entry
+    (KeyFrameDatabase::add, src/KeyFrameDatabase.cc:53)."""
     if config.vocab is None:
         return None, None, None
     from ..ops import bow as bow_ops  # local import avoids cycle at module load
 
     words, nodes = bow_ops.transform(config.vocab, frame.desc, frame.valid)
-    vec = bow_ops.bow_vector(config.vocab, words)
-    return vec, words, nodes
+    ids, vals = bow_ops.sparse_bow(config.vocab, words, config.bow_top)
+    return (ids, vals), words, nodes
 
 
 def initialize_depth(
