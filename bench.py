@@ -99,6 +99,8 @@ def main():
     _, est = slam.get_trajectory()
     ate = ate_rmse(est, seq.poses_gt[: len(est)])
 
+    phases = phase_breakdown(cfg, slam, seq, sensor)
+
     print(json.dumps({
         "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat",
         "value": round(fps, 2),
@@ -115,8 +117,68 @@ def main():
             "backend": str(jax.devices()[0]),
             "tracking_lost": slam.state != 1,
             "mode": "batched",
+            "phase_ms": phases,
         },
     }))
+
+
+def phase_breakdown(cfg, slam, seq, sensor):
+    """Per-phase device-time breakdown (ms), measured scan-amortized against
+    the post-run map state: frame construction (ORB + depth), the tracking
+    step without the mapping branch, and the full fused step with the
+    mapping phase taken.  Emitted into the bench artifact so a regression in
+    any one phase is visible in the artifact diff (round-2 review: the
+    122-vs-142fps regression had no per-phase attribution)."""
+    import functools
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from self_commit_orb_slam2_tpu.models import frame as frame_mod
+    from self_commit_orb_slam2_tpu.models import pipeline
+
+    R = 10
+    m, carry = slam.map, slam.carry
+    img = jnp.asarray(seq.images[-1], jnp.float32)
+    second = (jnp.asarray(seq.right_images[-1], jnp.float32)
+              if sensor == "stereo"
+              else jnp.asarray(seq.depths[-1], jnp.float32))
+    ts = jnp.float32(float(seq.timestamps[-1]))
+
+    def scan_time(fn):
+        def body(acc, _):
+            out = fn()
+            s = sum(jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree_util.tree_leaves(out))
+            return acc + s * 1e-30, None
+
+        g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), None,
+                                         length=R)[0])
+        jax.block_until_ready(g())
+        t0 = _t.perf_counter()
+        jax.block_until_ready(g())
+        return round((_t.perf_counter() - t0) / R * 1e3, 3)
+
+    mk = (functools.partial(frame_mod.make_frame_stereo, cfg, img, second)
+          if sensor == "stereo"
+          else functools.partial(frame_mod.make_frame_rgbd, cfg, img, second))
+    step = (pipeline.step_stereo if sensor == "stereo" else pipeline.step_rgbd)
+
+    from self_commit_orb_slam2_tpu.models import local_mapping, map_state as ms
+
+    kf_id = ms.latest_kf(m)
+    out = {
+        # ORB extraction + stereo/RGB-D depth association
+        "frame": scan_time(mk),
+        # full per-frame tracking path, mapping branch not taken
+        "track": scan_time(lambda: step(cfg, m, carry, img, second, ts,
+                                        run_mapping=False)[2]),
+        # the per-KEYFRAME mapping phase (amortize by the KF cadence)
+        "mapping_per_kf": scan_time(
+            lambda: local_mapping._process(cfg, m, kf_id).n_pt),
+    }
+    return out
 
 
 def bench_dataset(root, n_frames):

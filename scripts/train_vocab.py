@@ -2,13 +2,15 @@
 """Train the default BoW vocabulary and save it as a package asset.
 
 Counterpart of DBoW2's offline vocabulary creation (the reference ships a
-pretrained ORBvoc.txt, k=10 L=6, trained on ~10k images — SURVEY §2.2).  Here
-the corpus is ORB descriptors extracted from a few hundred synthetic value-
-noise textures under random viewpoints; k=10 L=4 (~10k words) keeps the
-artifact small while giving loop closing / relocalization enough vocabulary
-resolution for typical sequences.
+pretrained ORBvoc.txt, k=10 L=6 ~1M leaves, trained on ~10k images — SURVEY
+§2.2).  The corpus is ORB descriptors extracted from synthetic value-noise
+textures (held-out seed — disjoint from every test/bench scene seed) under
+the same extractor the pipeline runs.  The default k=10 L=5 yields ~10^5
+words, which the sparse (word id, weight) database scores at the same cost
+as a small vocabulary.
 
-Usage: python scripts/train_vocab.py [n_textures] [out.npz]
+Usage: python scripts/train_vocab.py [n_textures] [out.npz] [--small]
+  --small: k=10 L=4 (~10k words) quick variant.
 """
 
 import os
@@ -32,29 +34,44 @@ from self_commit_orb_slam2_tpu.utils.synthetic import value_noise_texture
 
 
 def main():
-    n_tex = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    small = "--small" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_tex = int(args[0]) if args else (200 if small else 420)
+    out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "self_commit_orb_slam2_tpu", "assets", "vocab_synthetic.npz",
     )
     rng = np.random.default_rng(7)
-    cfg = OrbConfig(n_features=512)
+    # 640x640 textures at a 2500-feature budget: ~2.4k descriptors per
+    # texture -> ~1M descriptors at the default 420 textures
+    size, nfeat = (320, 512) if small else (640, 2500)
+    cfg = OrbConfig(n_features=nfeat)
     ext = jax.jit(functools.partial(extract, config=cfg))
 
-    descs = []
+    descs, doc_ids = [], []
     t0 = time.time()
     for i in range(n_tex):
-        tex = value_noise_texture(rng, size=320,
-                                  sharp_features=int(rng.integers(60, 200)))
+        tex = value_noise_texture(rng, size=size,
+                                  sharp_features=int(rng.integers(60, 300)))
         feats = ext(jnp.asarray(tex))
         v = np.asarray(feats.valid)
-        descs.append(np.asarray(feats.desc)[v])
+        d = np.asarray(feats.desc)[v]
+        descs.append(d)
+        doc_ids.append(np.full(len(d), i, np.int32))
         if (i + 1) % 50 == 0:
-            print(f"{i+1}/{n_tex} textures, {sum(len(d) for d in descs)} descriptors,"
-                  f" {time.time()-t0:.0f}s")
+            print(f"{i+1}/{n_tex} textures, {sum(len(d) for d in descs)} "
+                  f"descriptors, {time.time()-t0:.0f}s", flush=True)
     corpus = np.concatenate(descs)
-    print(f"training k=10 L=4 on {len(corpus)} descriptors ...")
-    vocab = train_vocabulary(corpus, k=10, L=4, seed=0)
+    docs = np.concatenate(doc_ids)
+    k, L, levelsup = (10, 4, 2) if small else (10, 5, 3)
+    # levelsup: mid-level node granularity for SearchByBoW constraints —
+    # L - levelsup = 2 keeps ~100 nodes, matching the reference's
+    # transform(.., 4) on the L=6 ORBvoc (Frame.cc:889)
+    print(f"training k={k} L={L} on {len(corpus)} descriptors ...", flush=True)
+    t1 = time.time()
+    vocab = train_vocabulary(corpus, k=k, L=L, seed=0,
+                             weight_doc_ids=docs, levelsup=levelsup)
+    print(f"trained in {time.time()-t1:.0f}s", flush=True)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     save_vocabulary(out, vocab)
     print(f"saved {vocab.n_words} words -> {out}"

@@ -102,11 +102,11 @@ class TrackingConfig(NamedTuple):
     # Covisibility-consistency chaining: a loop candidate's covisibility
     # group must be re-detected in this many consecutive keyframes before
     # Sim3 correction is applied (reference mnCovisibilityConsistencyTh=3,
-    # LoopClosing.cc:56, groups :229-305).  Default 1 = accept on first
-    # geometrically-verified detection: our Sim3 gate (RANSAC + GN polish,
-    # >=20 inliers) already provides the false-positive protection the
-    # reference gets from chaining; set 3 for reference-faithful behavior.
-    loop_consistency_th: int = 1
+    # LoopClosing.cc:56, groups :229-305).  3 matches the reference; the
+    # Sim3 gate (RANSAC + GN polish, >=20 inliers) additionally protects
+    # against false positives, so 1 is a usable low-latency setting for
+    # short sequences.
+    loop_consistency_th: int = 3
 
 
 class SlamConfig(NamedTuple):

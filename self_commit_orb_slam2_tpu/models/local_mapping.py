@@ -622,4 +622,6 @@ def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     # fresh observation counts for the redundancy rule (fuse just densified
     # the graph; the 90% rule needs the post-fuse counts)
     m = cull_keyframes(config, m, kf_id, counts=counts)
-    return m
+    # refresh the cached per-point observation counts for the per-frame
+    # tracking policy (tracking.track_local_map reads m.pt_obs)
+    return m._replace(pt_obs=ms.observation_count(m))

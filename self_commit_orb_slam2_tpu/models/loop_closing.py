@@ -271,6 +271,86 @@ def detect_and_verify(
     )
 
 
+def _search_and_fuse_loop(
+    config: SlamConfig, m: MapState, kf_id: jnp.ndarray, det: LoopDetection
+) -> MapState:
+    """Project the loop group's map points into the current keyframe and its
+    covisible neighbors, binding matches (reference LoopClosing::SearchAndFuse
+    src/LoopClosing.cc:809 -> ORBmatcher::Fuse(Scw, radius 4)
+    src/ORBmatcher.cc:1179).
+
+    Free features are bound to the loop point; features already carrying a
+    point are REBOUND to the loop point (the reference replaces the current
+    point with the loop one, LoopClosing.cc:835-845) — the displaced losers
+    keep their other observations and are collected by the found-ratio cull.
+    These cross-sector observations are what make the post-loop global BA
+    actually bend the map instead of reverting to the drifted configuration.
+    """
+    from ..ops.camera import in_frustum
+    from .map_state import NO_POINT
+
+    cam = config.camera
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    n_levels = config.orb.n_levels
+    bounds = (0.0, float(cam.width), 0.0, float(cam.height))
+
+    # current covisibility group: the keyframe + its top-10 covisibles
+    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id]).at[kf_id].set(0)
+    topv, topi = jax.lax.top_k(counts, min(10, m.max_kf))
+    grp_idx = jnp.concatenate([kf_id[None], topi])
+    grp_ok = jnp.concatenate([jnp.ones(1, bool), topv > 0])
+
+    # loop-side points: everything observed by the winning candidate's group
+    loop_mask = det.groups[det.best_c]
+    lpt = ms.points_of_keyframes(m, loop_mask)
+    C = config.caps.local_points
+    cand = jnp.nonzero(lpt, size=C, fill_value=m.max_pt)[0]
+    cand_ok = cand < m.max_pt
+    cand_c = jnp.clip(cand, 0, m.max_pt - 1)
+    pos = m.pt_pos[cand_c]
+    normal = m.pt_normal[cand_c]
+    mind = m.pt_min_dist[cand_c] * 0.8
+    maxd = m.pt_max_dist[cand_c] * 1.2
+    desc = m.pt_desc[cand_c]
+
+    def fuse_one(Tcw, kf_xy, kf_level, kf_desc, kf_fvalid, kf_obs_row, ok):
+        vis, uv, dist, _ = in_frustum(
+            cam, Tcw, pos, normal, mind, maxd, bounds, view_cos_limit=0.5
+        )
+        have = jnp.zeros(m.max_pt + 2, bool).at[
+            jnp.where(kf_obs_row >= 0, kf_obs_row, m.max_pt + 1)
+        ].set(True, mode="drop")
+        vis &= cand_ok & ok & ~have[cand_c]
+        ratio = jnp.maximum(maxd / 1.2, 1e-6) / jnp.maximum(dist, 1e-6)
+        lvl = jnp.clip(
+            jnp.ceil(jnp.log(ratio)
+                     / jnp.log(config.orb.scale_factor)).astype(jnp.int32),
+            0, n_levels - 1,
+        )
+        rad = 4.0 * scale_factors[lvl]  # reference Fuse(Scw) radius 4
+        mm = mcore.mutual_best_match(
+            desc, kf_desc,
+            mcore.window_mask(uv, kf_xy, rad)
+            & mcore.level_mask(lvl, kf_level, -1, 1),
+            vis, kf_fvalid, max_dist=mcore.TH_LOW, ratio=None,
+        )
+        t = jnp.where(mm.valid, mm.idx, m.feat_cap + 1)
+        return kf_obs_row.at[t].set(
+            jnp.where(mm.valid, cand_c, NO_POINT).astype(jnp.int32),
+            mode="drop",
+        )
+
+    new_rows = jax.vmap(fuse_one)(
+        m.kf_Tcw[grp_idx], m.kf_xy[grp_idx], m.kf_level[grp_idx],
+        m.kf_desc[grp_idx], m.kf_feat_valid[grp_idx], m.kf_obs_pt[grp_idx],
+        grp_ok,
+    )
+    kf_obs_pt = m.kf_obs_pt.at[
+        jnp.where(grp_ok, grp_idx, m.max_kf + 1)
+    ].set(new_rows, mode="drop")
+    return m._replace(kf_obs_pt=kf_obs_pt)
+
+
 def correct_loop(
     config: SlamConfig, m: MapState, kf_id: jnp.ndarray, det: LoopDetection
 ) -> MapState:
@@ -358,11 +438,14 @@ def correct_loop(
 
     m = m._replace(kf_Tcw=kf_Tcw_new, pt_pos=pt_pos_new)
 
-    # ---- fuse loop-side points into the current keyframe now that poses
-    # agree (reference SearchAndFuse, LoopClosing.cc:809)
-    from .local_mapping import fuse_into_keyframe
-
-    m = fuse_into_keyframe(config, m, kf_id)
+    # ---- fuse LOOP-GROUP points into the current keyframe's covisibility
+    # group now that poses agree (reference SearchAndFuse, LoopClosing.cc:
+    # 809-860 projects mvpLoopMapPoints into every corrected keyframe with
+    # Fuse radius 4).  Selection must come from the loop group, NOT from
+    # covisibility — the two loop ends share no observations yet, so a
+    # covisibility-driven fuse would stitch nothing and the subsequent GBA
+    # would pull the map straight back to the drifted configuration.
+    m = _search_and_fuse_loop(config, m, kf_id, det)
 
     # ---- global bundle adjustment (reference RunGlobalBundleAdjustment,
     # LoopClosing.cc:880: 10 iterations after every loop closure).  The dense
@@ -383,7 +466,8 @@ def correct_loop(
         )
         m = m._replace(kf_Tcw=ba.kf_Tcw, pt_pos=ba.pt_pos)
 
-    return m
+    # fuse rebound observations above: refresh the cached counts
+    return m._replace(pt_obs=ms.observation_count(m))
 
 
 def _needs_sharded_gba(config: SlamConfig, m: MapState) -> bool:

@@ -72,6 +72,13 @@ class MapState(NamedTuple):
     pt_first_kf: jnp.ndarray   # [P] int32 (MapPoint culling rules)
     pt_visible: jnp.ndarray    # [P] int32
     pt_found: jnp.ndarray      # [P] int32
+    # Cached observation counts (#keyframes observing each point), refreshed
+    # at the end of every mapping phase.  The per-frame tracking KF policy
+    # reads this instead of re-running the O(K*N) observation_count scatter
+    # every frame; counts only change when keyframes are inserted/culled or
+    # observations rebind — all of which end in a mapping/loop phase that
+    # refreshes the cache.
+    pt_obs: jnp.ndarray        # [P] int32
     # --- cull archive (trajectory resolution for retired keyframes) ---
     # When a keyframe slot is reclaimed its relative pose to a parent must
     # survive so old trajectory entries referencing it stay resolvable
@@ -142,6 +149,7 @@ def empty_map(config: SlamConfig) -> MapState:
         pt_first_kf=jnp.zeros(P, jnp.int32),
         pt_visible=jnp.zeros(P, jnp.int32),
         pt_found=jnp.zeros(P, jnp.int32),
+        pt_obs=jnp.zeros(P, jnp.int32),
         cull_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
         cull_parent_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
         cull_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (config.caps.cull_log, 1, 1)),
@@ -198,6 +206,10 @@ def insert_keyframe(
         kf_desc=w(m.kf_desc, frame.desc),
         kf_feat_valid=w(m.kf_feat_valid, frame.valid),
         kf_obs_pt=w(m.kf_obs_pt, jnp.where(frame.valid, obs_pt, NO_POINT)),
+        # keep the cached observation counts consistent with the new row
+        pt_obs=m.pt_obs.at[
+            jnp.where(ok & frame.valid & (obs_pt >= 0), obs_pt, m.max_pt + 1)
+        ].add(1, mode="drop"),
         kf_bow_ids=(w(m.kf_bow_ids, bow[0]) if bow is not None
                     else m.kf_bow_ids),
         kf_bow_vals=(w(m.kf_bow_vals, bow[1]) if bow is not None
@@ -262,6 +274,7 @@ def add_points(
         pt_first_kf=m.pt_first_kf.at[ids].set(m.kf_seq[kf_id], **mode),
         pt_visible=m.pt_visible.at[ids].set(1, **mode),
         pt_found=m.pt_found.at[ids].set(1, **mode),
+        pt_obs=m.pt_obs.at[ids].set(1, **mode),
         n_pt=m.n_pt + jnp.sum(create_mask).astype(jnp.int32),
         kf_obs_pt=m.kf_obs_pt.at[kf_id, feat_idx].set(
             jnp.where(create_mask, ids, m.kf_obs_pt[kf_id, feat_idx]).astype(jnp.int32),

@@ -111,7 +111,10 @@ def track_step(
 
     # dual-hypothesis motion tracking (see System docstring), both hypotheses
     # batched through one vmap so the matching tables and GN loops run once
-    # at batch 2 instead of twice sequentially
+    # at batch 2 instead of twice sequentially.  (A cond-gated single-
+    # hypothesis fast path was tried in round 3 and REGRESSED ATE 0.02 ->
+    # 0.06 on the look-at benchmark: the wide-window static hypothesis wins
+    # often enough at steady state to be load-bearing for accuracy.)
     res2 = jax.vmap(
         lambda vel, rad: tracking.track_motion(
             config, m, frame, carry.Tcw, vel, carry.last_frame,

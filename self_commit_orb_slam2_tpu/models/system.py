@@ -283,8 +283,32 @@ class System:
                     if len(live) == 0:
                         continue  # culled before loop processing could run
                     slot = int(live[0])
+                before = self._loop_closer.n_big_changes
                 self.map = self._loop_closer.process(self.map, slot)
+                if self._loop_closer.n_big_changes != before:
+                    self._apply_correction_to_carry(
+                        slot, infos.ref_kf_Tcw[b])
         return arr
+
+    def _apply_correction_to_carry(self, kf_slot: int,
+                                   kf_Tcw_at_track: np.ndarray) -> None:
+        """Propagate a loop correction into the live tracking state.
+
+        CorrectLoop rewrites keyframe poses (reference LoopClosing.cc:571+,
+        which also updates the current keyframe the Tracking thread hangs
+        off); our device-resident carry would otherwise keep predicting from
+        the PRE-correction pose while the local map has moved by the
+        correction — a jump that can exceed the projection search windows
+        and degrade tracking right after every closure.  The carry pose is
+        re-based by the reference keyframe's pose delta."""
+        if self.carry is None:
+            return
+        kf_new = np.asarray(self.map.kf_Tcw[kf_slot])
+        delta = kf_new @ np.linalg.inv(np.asarray(kf_Tcw_at_track))
+        new_Tcw = jnp.asarray(
+            (delta @ np.asarray(self.carry.Tcw)).astype(np.float32))
+        self.carry = self.carry._replace(Tcw=new_Tcw)
+        self.Tcw = new_Tcw
 
     def activate_localization_mode(self) -> None:
         """Reference System::ActivateLocalizationMode (src/System.cc:346)."""
@@ -436,10 +460,17 @@ class System:
                     )
                     self.Tcw = reloc.Tcw
                     self.state = STATE_OK
-            if bool(info.created_kf) and self._loop_closer is not None:
-                self.map = self._loop_closer.process(self.map, int(info.ref_kf))
+            # record the keyframe-relative pose BEFORE any loop correction:
+            # Tcr composed with the ref KF's CURRENT pose at save time is how
+            # corrections reach the trajectory (reference SaveTrajectoryTUM)
             Tcr = np.asarray(self.Tcw) @ np.linalg.inv(np.asarray(info.ref_kf_Tcw))
             self._rel_trajectory.append((timestamp, int(info.ref_kf_seq), Tcr))
+            if bool(info.created_kf) and self._loop_closer is not None:
+                before = self._loop_closer.n_big_changes
+                self.map = self._loop_closer.process(self.map, int(info.ref_kf))
+                if self._loop_closer.n_big_changes != before:
+                    self._apply_correction_to_carry(
+                        int(info.ref_kf), np.asarray(info.ref_kf_Tcw))
 
         Tcw_np = np.asarray(self.Tcw)
         self.trajectory.append((timestamp, Tcw_np))

@@ -215,7 +215,9 @@ def track_local_map(
     # least minObs keyframes (KeyFrame::TrackedMapPoints, minObs = 2 while
     # the map is young else 3 — Tracking.cc:1545-1552).
     min_obs = jnp.where(m.n_kf <= 2, 2, 3)
-    obs_count = ms.observation_count(m)
+    # cached counts (refreshed by every mapping phase) — saves a full
+    # O(K*N) observation scatter per frame
+    obs_count = m.pt_obs
     ref_ids = m.kf_obs_pt[ref_kf]
     ref_ok = (ref_ids >= 0) & m.kf_feat_valid[ref_kf]
     ref_total = jnp.sum(

@@ -46,8 +46,24 @@ class Vocabulary(NamedTuple):
     levelsup: int = 2  # node level used for matching constraints (from leaf)
 
 
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_table(descs_u8: np.ndarray, centers_u8: np.ndarray,
+                   chunk: int = 1 << 16) -> np.ndarray:
+    """[M, k] Hamming distances, chunked byte-LUT popcount (no [M, k, 256]
+    unpack — at vocabulary-training scale (10^6 descriptors) that would be
+    gigabytes per k-means iteration)."""
+    M, k = len(descs_u8), len(centers_u8)
+    out = np.empty((M, k), np.int32)
+    for s in range(0, M, chunk):
+        x = descs_u8[s : s + chunk, None, :] ^ centers_u8[None, :, :]
+        out[s : s + chunk] = _POP_LUT[x].sum(-1, dtype=np.int32)
+    return out
 
 
 def _kmajority(descs: np.ndarray, k: int, rng, iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
@@ -55,31 +71,41 @@ def _kmajority(descs: np.ndarray, k: int, rng, iters: int = 8) -> tuple[np.ndarr
     M = len(descs)
     k = min(k, M)
     centers = descs[rng.choice(M, k, replace=False)]
-    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # [M, 256]
+    du8 = np.ascontiguousarray(descs).view(np.uint8).reshape(M, 32)
+    assign = np.zeros(M, np.int64)
     for _ in range(iters):
-        d = _popcount64(np.bitwise_xor(descs[:, None, :], centers[None, :, :]))
-        assign = np.argmin(d, axis=1)
+        cu8 = np.ascontiguousarray(centers).view(np.uint8).reshape(k, 32)
+        d = _hamming_table(du8, cu8)
+        new_assign = np.argmin(d, axis=1)
+        if np.array_equal(new_assign, assign):
+            assign = new_assign
+            break
+        assign = new_assign
         new_centers = []
         for c in range(k):
-            sel = bits[assign == c]
+            sel = du8[assign == c]
             if len(sel) == 0:
                 new_centers.append(centers[c])
                 continue
-            maj = (sel.mean(0) >= 0.5).astype(np.uint8)
+            maj = (np.unpackbits(sel, axis=-1).mean(0) >= 0.5).astype(np.uint8)
             new_centers.append(np.packbits(maj).view(np.uint32))
         centers = np.stack(new_centers)
-    d = _popcount64(np.bitwise_xor(descs[:, None, :], centers[None, :, :]))
-    assign = np.argmin(d, axis=1)
+    cu8 = np.ascontiguousarray(centers).view(np.uint8).reshape(k, 32)
+    assign = np.argmin(_hamming_table(du8, cu8), axis=1)
     return centers, assign
 
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
-                     seed: int = 0, weight_descs: np.ndarray | None = None) -> Vocabulary:
+                     seed: int = 0, weight_descs: np.ndarray | None = None,
+                     weight_doc_ids: np.ndarray | None = None,
+                     levelsup: int = 2) -> Vocabulary:
     """Train the tree host-side (offline, like DBoW2's create()).
 
     descriptors: [M, 8] uint32 training set.  IDF weights come from
     `weight_descs` (defaults to the training set) as in
-    TemplatedVocabulary::setNodeWeights.
+    TemplatedVocabulary::setNodeWeights; when `weight_doc_ids` [M] is given,
+    document frequency counts distinct source images per word (the DBoW2
+    definition) instead of descriptor occurrences.
     """
     rng = np.random.default_rng(seed)
     node_desc = [np.zeros(8, np.uint32)]  # root (never compared against)
@@ -117,14 +143,28 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
         node_children=jnp.asarray(child_arr),
         word_id=jnp.asarray(word_id),
         word_weight=jnp.ones(max(n_words, 1), jnp.float32),
-        k=k, L=L, n_words=n_words,
+        k=k, L=L, n_words=n_words, levelsup=levelsup,
     )
     # IDF weights (TemplatedVocabulary.h: weight = log(N / Ni))
     wd = weight_descs if weight_descs is not None else descriptors
-    words, _ = np.asarray(transform(vocab, jnp.asarray(wd.astype(np.uint32)),
-                                    jnp.ones(len(wd), bool)))
-    counts = np.bincount(words[words >= 0], minlength=n_words).astype(np.float64)
-    n_docs = max(len(wd), 1)
+    words_np = []
+    CH = 1 << 17  # chunked: the descent gathers [M, k, 8] temporaries
+    for s in range(0, len(wd), CH):
+        w, _ = transform(vocab, jnp.asarray(wd[s : s + CH].astype(np.uint32)),
+                         jnp.ones(min(CH, len(wd) - s), bool))
+        words_np.append(np.asarray(w))
+    words = np.concatenate(words_np) if words_np else np.zeros(0, np.int32)
+    if weight_doc_ids is not None:
+        # document frequency over distinct source images (DBoW2 semantics)
+        docs = np.asarray(weight_doc_ids)[: len(words)]
+        n_docs = max(int(docs.max()) + 1, 1)
+        ok = words >= 0
+        pairs = np.unique(words[ok].astype(np.int64) * n_docs + docs[ok])
+        counts = np.bincount(pairs // n_docs,
+                             minlength=n_words).astype(np.float64)
+    else:
+        counts = np.bincount(words[words >= 0], minlength=n_words).astype(np.float64)
+        n_docs = max(len(wd), 1)
     idf = np.log(n_docs / np.maximum(counts, 1.0)).astype(np.float32)
     return vocab._replace(word_weight=jnp.asarray(np.maximum(idf, 1e-3)))
 

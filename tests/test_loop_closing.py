@@ -15,7 +15,9 @@ from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence, spin_tr
 
 @pytest.fixture(scope="module")
 def spin_seq():
-    n = 84
+    # a full revolution (72 frames) plus enough overlap for the shipped
+    # loop_consistency_th=3 to chain three consecutive keyframe detections
+    n = 100
     traj = spin_trajectory(n, frames_per_rev=72)
     return generate_sequence(n_frames=n, width=320, height=240, seed=9,
                              trajectory=traj)
@@ -103,6 +105,84 @@ def test_loop_detected_and_corrected(spin_seq, spin_vocab):
     assert ate_corr < ate_raw * 1.08 + 1e-3, (
         "loop correction degraded the trajectory")
     assert ate_corr < 0.16
+
+
+def _displace_old_by_seq(slam, dD: np.ndarray, keep_recent: int = 4) -> None:
+    """One increment of gradual odometry-style drift: world content OLDER
+    than the last `keep_recent` keyframes moves by dD.  Applied every frame,
+    content created at keyframe j accumulates displacement dD^(n-j) — drift
+    builds smoothly along the chain exactly like integrated odometry error
+    (up to the global alignment ate_rmse removes)."""
+    import jax.numpy as jnp
+
+    m = slam.map
+    kf_seq = np.asarray(m.kf_seq)
+    cutoff = kf_seq.max() - keep_recent
+    kf_sel = (kf_seq >= 0) & (kf_seq <= cutoff) & np.asarray(m.kf_valid)
+    pt_sel = (np.asarray(m.pt_first_kf) <= cutoff) & np.asarray(m.pt_valid)
+    Dinv = jnp.asarray(np.linalg.inv(dD).astype(np.float32))
+    R = jnp.asarray(dD[:3, :3].astype(np.float32))
+    t = jnp.asarray(dD[:3, 3].astype(np.float32))
+    slam.map = m._replace(
+        kf_Tcw=jnp.where(jnp.asarray(kf_sel)[:, None, None],
+                         m.kf_Tcw @ Dinv, m.kf_Tcw),
+        pt_pos=jnp.where(jnp.asarray(pt_sel)[:, None],
+                         m.pt_pos @ R.T + t, m.pt_pos),
+        pt_normal=jnp.where(jnp.asarray(pt_sel)[:, None],
+                            m.pt_normal @ R.T, m.pt_normal),
+    )
+
+
+@pytest.fixture(scope="module")
+def drift_seq():
+    """Longer revolution for the gradual-drift scenario: the accumulated
+    drift at revisit (~13cm/6deg over 130 injection steps) must EXCEED the
+    projection-matching windows, otherwise the revisit implicitly
+    re-associates drifted points and dilutes the measured loop discrepancy."""
+    n = 150
+    traj = spin_trajectory(n, frames_per_rev=108)
+    return generate_sequence(n_frames=n, width=320, height=240, seed=9,
+                             trajectory=traj)
+
+
+@pytest.mark.slow
+def test_gradual_drift_loop_strictly_improves_ate(drift_seq, spin_vocab):
+    """Gradual accumulated drift (not a rigid tear): every frame inside the
+    drift window nudges all but the newest keyframes by ~1.2mm/0.06deg, so
+    drift builds smoothly along the chain like integrated odometry error.
+    The FULL shipped pipeline (loop_consistency_th=3 default, detect ->
+    Sim3 -> pose graph -> loop-group SearchAndFuse -> GBA) must close the
+    loop and the corrected trajectory must STRICTLY beat the uncorrected
+    one (reference CorrectLoop + RunGlobalBundleAdjustment,
+    /root/reference/src/LoopClosing.cc:571,880)."""
+    from self_commit_orb_slam2_tpu.ops import se3 as se3_ops
+    import jax.numpy as jnp
+
+    seq = drift_seq
+    cfg = make_config(spin_vocab)
+    # full pipeline including post-loop GBA; consistency threshold stays at
+    # the shipped default (3)
+    cfg = cfg._replace(tracking=cfg.tracking._replace(enable_loop_gba=True))
+    assert cfg.tracking.loop_consistency_th == 3
+    slam = System(cfg)
+    n = len(seq.images)
+    dD = np.asarray(se3_ops.se3_exp(jnp.asarray(
+        [0.0012, 0.0003, -0.0006, 0.0, 0.001, 0.0], jnp.float32)), np.float64)
+    for i in range(n):
+        slam.track_rgbd(seq.images[i], seq.depths[i],
+                        float(seq.timestamps[i]))
+        if 10 <= i < 140:
+            _displace_old_by_seq(slam, dD, keep_recent=6)
+    assert slam._loop_closer.last_loop_kf > 0, "no loop closure detected"
+    _, corrected = slam.get_trajectory()
+    raw = np.stack([p for _, p in slam.trajectory])
+    ate_corr = ate_rmse(corrected, seq.poses_gt)
+    ate_raw = ate_rmse(raw, seq.poses_gt)
+    print(f"gradual-drift ATE corrected={ate_corr*100:.2f}cm "
+          f"raw={ate_raw*100:.2f}cm kf={slam.n_keyframes()}")
+    assert ate_corr < ate_raw * 0.8, (
+        "loop correction failed to significantly reduce accumulated drift")
+    assert ate_corr < 0.18
 
 
 @pytest.mark.slow

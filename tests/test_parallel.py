@@ -398,3 +398,74 @@ def test_fleet_localization_serving(rng):
     # frozen map: no keyframes or points added on any stream
     assert np.all(np.asarray(fleet.map.n_kf) == n_kf)
     assert int(np.asarray(jnp.sum(fleet.map.pt_valid, axis=1)).max()) == n_pt
+
+
+@pytest.mark.slow
+def test_fleet_stream_loss_recovery(rng):
+    """One stream loses tracking mid-run (blank frames) and must RELOCALIZE
+    via the shared in-graph pipeline while the other streams are unaffected
+    (reference: Tracking falls back to Relocalization whenever LOST,
+    src/Tracking.cc:523-629, :2030 — here exercised through FleetTracker)."""
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.ops.bow import train_vocabulary
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig, extract
+    from self_commit_orb_slam2_tpu.parallel.fleet import FleetTracker, make_fleet_mesh
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    n, S, B = 33, 2, 8
+    seqs = [generate_sequence(n_frames=n, width=320, height=240, seed=20 + s)
+            for s in range(S)]
+    descs = []
+    for s in range(S):
+        for i in range(0, n, 8):
+            f = extract(jnp.asarray(seqs[s].images[i]), OrbConfig(n_features=300))
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    vocab = train_vocabulary(np.concatenate(descs), k=8, L=3, seed=4)
+
+    cam = CameraParams.create(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                              bf=26.0, width=320, height=240)
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=400),
+                     caps=Capacities(max_keyframes=24, max_points=8192,
+                                     local_points=1024),
+                     tracking=TrackingConfig(max_frames_between_kf=6),
+                     sensor="rgbd", vocab=vocab)
+    fleet = FleetTracker(cfg, n_streams=S, mesh=make_fleet_mesh(2))
+    fleet.initialize(np.stack([q.images[0] for q in seqs]),
+                     np.stack([q.depths[0] for q in seqs]),
+                     np.array([q.timestamps[0] for q in seqs]))
+
+    def chunk(lo, hi, blank_stream=None):
+        a = np.stack([q.images[lo:hi] for q in seqs]).copy()
+        b = np.stack([q.depths[lo:hi] for q in seqs]).copy()
+        ts = np.stack([q.timestamps[lo:hi] for q in seqs])
+        if blank_stream is not None:
+            a[blank_stream] = 0.0
+            b[blank_stream] = 0.0
+        return a, b, ts
+
+    poses = [fleet.track_chunk(*chunk(1, 1 + B))]
+    poses.append(fleet.track_chunk(*chunk(1 + B, 1 + 2 * B, blank_stream=1)))
+    state_mid = np.asarray(fleet.carry.state_ok)
+    assert bool(state_mid[0]), "healthy stream lost tracking"
+    assert not bool(state_mid[1]), "blanked stream still claims OK"
+    poses.append(fleet.track_chunk(*chunk(1 + 2 * B, 1 + 3 * B)))
+    poses.append(fleet.track_chunk(*chunk(1 + 3 * B, 1 + 4 * B)))
+    state_end = np.asarray(fleet.carry.state_ok)
+    assert bool(state_end[0]) and bool(state_end[1]), (
+        "stream did not recover after frames returned")
+
+    all_poses = np.concatenate(poses, axis=1)  # [S, 4B, 4, 4]
+    # healthy stream: full-trajectory accuracy untouched
+    est0 = np.concatenate([np.eye(4, dtype=np.float32)[None], all_poses[0]])
+    assert ate_rmse(est0, seqs[0].poses_gt[: len(est0)]) < 0.02
+    # recovered stream: accuracy over the NON-blank frames (the reloc must
+    # return it to its own map frame, otherwise the tail is inconsistent
+    # with the head and the joint ATE blows up)
+    keep = np.concatenate([np.arange(0, 1 + B),
+                           np.arange(1 + 2 * B, 1 + 4 * B)])
+    est1 = np.concatenate([np.eye(4, dtype=np.float32)[None], all_poses[1]])
+    ate1 = ate_rmse(est1[keep], seqs[1].poses_gt[keep])
+    assert ate1 < 0.05, ate1
