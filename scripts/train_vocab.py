@@ -5,8 +5,8 @@ Counterpart of DBoW2's offline vocabulary creation (the reference ships a
 pretrained ORBvoc.txt, k=10 L=6 ~1M leaves, trained on ~10k images — SURVEY
 §2.2).  The corpus is ORB descriptors extracted from synthetic value-noise
 textures (held-out seed — disjoint from every test/bench scene seed) under
-the same extractor the pipeline runs.  The default k=10 L=5 yields ~10^5
-words, which the sparse (word id, weight) database scores at the same cost
+the same extractor the pipeline runs.  The default k=10 L=6 (the ORBvoc
+geometry) yields >=10^5 words, which the sparse (word id, weight) database scores at the same cost
 as a small vocabulary.
 
 Usage: python scripts/train_vocab.py [n_textures] [out.npz] [--small]
@@ -63,7 +63,7 @@ def main():
                   f"descriptors, {time.time()-t0:.0f}s", flush=True)
     corpus = np.concatenate(descs)
     docs = np.concatenate(doc_ids)
-    k, L, levelsup = (10, 4, 2) if small else (10, 5, 3)
+    k, L, levelsup = (10, 4, 2) if small else (10, 6, 4)
     # levelsup: mid-level node granularity for SearchByBoW constraints —
     # L - levelsup = 2 keeps ~100 nodes, matching the reference's
     # transform(.., 4) on the L=6 ORBvoc (Frame.cc:889)

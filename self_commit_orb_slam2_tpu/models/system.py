@@ -108,8 +108,9 @@ class System:
         self._reloc_key = jax.random.PRNGKey(0)
         # streaming chunk size for _track_batch (frames per device dispatch);
         # small enough that upload(k+1) overlaps compute(k), large enough to
-        # amortize dispatch overhead over the tunnel
-        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "4"))
+        # amortize dispatch overhead over the tunnel (round-3 sweep at
+        # 640x480: chunk 8 > 12 > 4 end-to-end on the tunneled v5e)
+        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "8"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:

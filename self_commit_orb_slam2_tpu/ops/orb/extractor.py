@@ -32,13 +32,10 @@ class OrbConfig(NamedTuple):
     border: int = 16
     # Fused Pallas FAST+NMS kernel (ops/orb/fast_pallas.py).  With the
     # all-levels slab there is ONE kernel call per frame (both thresholds +
-    # NMS with the image tile in VMEM): ~1.3ms/frame faster device-time than
-    # the XLA formulation in a single big scan on v5e.  Off by default
-    # because a remote-attached (tunneled) TPU pays extra per-DISPATCH cost
-    # for programs with embedded custom calls, which dominates at the small
-    # streaming chunk sizes that win overall; enable on locally-attached
-    # TPUs.  Ignored off-TPU.
-    use_pallas_fast: bool = False
+    # NMS with the image tile in VMEM): at 640x480 it cuts full extraction
+    # 4.9 -> 3.2 ms/frame on v5e (round-3 measurement, dev/prof_orb_ref.py).
+    # Ignored off-TPU (the XLA formulation runs everywhere).
+    use_pallas_fast: bool = True
 
     def level_budgets(self) -> list[int]:
         """Geometric per-level feature budget (reference ctor :539-554)."""

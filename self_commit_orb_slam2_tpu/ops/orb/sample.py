@@ -65,18 +65,34 @@ def orient_and_describe(
     # ~0.6ms/frame at N=512).  A row gather is ONE vectorized op: fetch the
     # ps patch rows of both slabs (rows are contiguous 128-lane reads), then
     # select the ps columns with a one-hot matmul on the MXU.
+    #
+    # The rows are gathered from a COLUMN-BLOCKED copy of the slab (width-BW
+    # windows on a 32-px stride): fetching full W0-wide rows and one-hot
+    # selecting over W0 moved ~2*N*ps*W0 floats per frame (~250MB at
+    # 640x480/N=1024); block-local rows cut the gather and the selector to
+    # width 80 (~10x less HBM traffic for the same exact result).
     N = xy.shape[0]
+    STRIDE, BW = 32, 80  # BW >= STRIDE + ps - 1 + 1; taps stay in-block
+    nb = max((W0 - BW + STRIDE - 1) // STRIDE, 0) + 1
     big2d = jnp.concatenate([slab_raw, slab_blur]).reshape(2 * L * H0, W0)
-    rowidx = (level[:, None] * H0 + y0[:, None] + iota[None, :])  # [N, ps]
+    padded = jnp.pad(big2d, ((0, 0), (0, STRIDE * (nb - 1) + BW - W0)))
+    # [2LH0, nb, BW] strided windows -> [2LH0 * nb, BW]
+    blocks = jnp.stack(
+        [padded[:, b * STRIDE : b * STRIDE + BW] for b in range(nb)], axis=1
+    ).reshape(-1, BW)
+    blk = x0 // STRIDE                                   # [N]
+    off = x0 - blk * STRIDE                              # [N] in [0, STRIDE)
+    rowidx = (level[:, None] * H0 + y0[:, None] + iota[None, :]) * nb \
+        + blk[:, None]                                   # [N, ps]
     rows2 = jnp.take(
-        big2d,
-        jnp.concatenate([rowidx, rowidx + L * H0], 1).reshape(-1),
+        blocks,
+        jnp.concatenate([rowidx, rowidx + L * H0 * nb], 1).reshape(-1),
         axis=0,
-    ).reshape(N, 2, ps, W0)
+    ).reshape(N, 2, ps, BW)
     colsel = (
-        jnp.arange(W0, dtype=jnp.int32)[None, :, None]
-        == (x0[:, None, None] + iota[None, None, :])
-    ).astype(jnp.float32)                                          # [N, W0, ps]
+        jnp.arange(BW, dtype=jnp.int32)[None, :, None]
+        == (off[:, None, None] + iota[None, None, :])
+    ).astype(jnp.float32)                                # [N, BW, ps]
     pat2 = jnp.einsum("ncpw,nwq->ncpq", rows2, colsel)
     raw, blur = pat2[:, 0], pat2[:, 1]
 
