@@ -622,6 +622,7 @@ def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     # fresh observation counts for the redundancy rule (fuse just densified
     # the graph; the 90% rule needs the post-fuse counts)
     m = cull_keyframes(config, m, kf_id, counts=counts)
-    # refresh the cached per-point observation counts for the per-frame
-    # tracking policy (tracking.track_local_map reads m.pt_obs)
-    return m._replace(pt_obs=ms.observation_count(m))
+    # refresh the cached observation incidence + per-point counts for the
+    # per-frame tracking policy and loop detection (MUST be the last step of
+    # the phase: culls and rebinds above all reflect into the cache here)
+    return ms.rebuild_incidence(m)

@@ -175,7 +175,9 @@ def detect_and_verify(
     cam = config.camera
 
     # ---- candidate retrieval (DetectLoop + DetectLoopCandidates) ----
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    # KF-KF covisibility = one cached-incidence matmul (inc @ inc.T)
+    C = ms.covisibility_matrix_cached(m)
+    counts = C[kf_id]
     covis = counts > 0
     q_ids, q_vals = m.kf_bow_ids[kf_id], m.kf_bow_vals[kf_id]
     scores = bow_ops.sparse_l1_score(q_ids, q_vals, m.kf_bow_ids,
@@ -204,7 +206,7 @@ def detect_and_verify(
     top_s, top_i = jax.lax.top_k(base_scores, min(N_GROUP, m.max_kf))
 
     def group_score(k):
-        row = ms.covisibility_row(m, m.kf_obs_pt[k]).at[k].set(0)
+        row = C[k].at[k].set(0)
         nbv, nbi = jax.lax.top_k(row, min(10, m.max_kf))
         nb_is_cand = cand0[nbi] & (nbv > 0)
         acc = scores[k] + jnp.sum(jnp.where(nb_is_cand, scores[nbi], 0.0))
@@ -241,7 +243,7 @@ def detect_and_verify(
     # the loop group's points into the current keyframe through the
     # corrected pose; total matches must reach 40
     group_mask = groups[best_c]
-    gpt = ms.points_of_keyframes(m, group_mask)
+    gpt = ms.points_of_keyframes_cached(m, group_mask)
     C = config.caps.local_points
     gids = jnp.nonzero(gpt, size=C, fill_value=m.max_pt)[0]
     g_ok = gids < m.max_pt
@@ -295,14 +297,15 @@ def _search_and_fuse_loop(
     bounds = (0.0, float(cam.width), 0.0, float(cam.height))
 
     # current covisibility group: the keyframe + its top-10 covisibles
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id]).at[kf_id].set(0)
+    # (cached incidence: observations unchanged since the mapping phase)
+    counts = ms.covisibility_row_cached(m, m.kf_obs_pt[kf_id]).at[kf_id].set(0)
     topv, topi = jax.lax.top_k(counts, min(10, m.max_kf))
     grp_idx = jnp.concatenate([kf_id[None], topi])
     grp_ok = jnp.concatenate([jnp.ones(1, bool), topv > 0])
 
     # loop-side points: everything observed by the winning candidate's group
     loop_mask = det.groups[det.best_c]
-    lpt = ms.points_of_keyframes(m, loop_mask)
+    lpt = ms.points_of_keyframes_cached(m, loop_mask)
     C = config.caps.local_points
     cand = jnp.nonzero(lpt, size=C, fill_value=m.max_pt)[0]
     cand_ok = cand < m.max_pt
@@ -387,10 +390,12 @@ def correct_loop(
 
     # strong covisibility edges (reference adds covisibility edges with
     # weight >= minFeat=100, Optimizer.cc:1183-1230): top-3 covisible
-    # partners per keyframe above a shared-observation threshold
+    # partners per keyframe above a shared-observation threshold — one
+    # cached-incidence [K, K] matmul instead of K gather passes
+    C_all = ms.covisibility_matrix_cached(m)
+
     def covis_edges(k):
-        counts = ms.covisibility_row(m, m.kf_obs_pt[k])
-        counts = counts.at[k].set(0)
+        counts = C_all[k].at[k].set(0)
         topv, topi = jax.lax.top_k(counts, 3)
         ok = (topv >= 30) & m.kf_valid[k] & (topi != k)
         return topi, ok
@@ -466,8 +471,8 @@ def correct_loop(
         )
         m = m._replace(kf_Tcw=ba.kf_Tcw, pt_pos=ba.pt_pos)
 
-    # fuse rebound observations above: refresh the cached counts
-    return m._replace(pt_obs=ms.observation_count(m))
+    # fuse rebound observations above: refresh the cached incidence/counts
+    return ms.rebuild_incidence(m)
 
 
 def _needs_sharded_gba(config: SlamConfig, m: MapState) -> bool:

@@ -79,6 +79,15 @@ class MapState(NamedTuple):
     # observations rebind — all of which end in a mapping/loop phase that
     # refreshes the cache.
     pt_obs: jnp.ndarray        # [P] int32
+    # Dense observation INCIDENCE matrix: kf_pt_inc[k, p] = 1 iff keyframe k
+    # observes point p.  This is the MXU-native covisibility representation
+    # (SURVEY §7 "covisibility as sparse weight matrix"): the per-frame
+    # local-keyframe vote (reference UpdateLocalKeyFrames) becomes one
+    # [K, P] x [P] matvec instead of an O(K*N) gather (~20x faster on v5e —
+    # TPU gathers cost ~8ns/element), and KF-KF covisibility is inc @ inc.T.
+    # Refreshed with pt_obs at the end of every mapping/loop phase; row-
+    # updated on keyframe insertion.  int8 keeps it 16MB at default caps.
+    kf_pt_inc: jnp.ndarray     # [K, P] int8
     # --- cull archive (trajectory resolution for retired keyframes) ---
     # When a keyframe slot is reclaimed its relative pose to a parent must
     # survive so old trajectory entries referencing it stay resolvable
@@ -150,6 +159,7 @@ def empty_map(config: SlamConfig) -> MapState:
         pt_visible=jnp.zeros(P, jnp.int32),
         pt_found=jnp.zeros(P, jnp.int32),
         pt_obs=jnp.zeros(P, jnp.int32),
+        kf_pt_inc=jnp.zeros((K, P), jnp.int8),
         cull_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
         cull_parent_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
         cull_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (config.caps.cull_log, 1, 1)),
@@ -206,10 +216,11 @@ def insert_keyframe(
         kf_desc=w(m.kf_desc, frame.desc),
         kf_feat_valid=w(m.kf_feat_valid, frame.valid),
         kf_obs_pt=w(m.kf_obs_pt, jnp.where(frame.valid, obs_pt, NO_POINT)),
-        # keep the cached observation counts consistent with the new row
+        # keep the cached observation counts + incidence row consistent
         pt_obs=m.pt_obs.at[
             jnp.where(ok & frame.valid & (obs_pt >= 0), obs_pt, m.max_pt + 1)
         ].add(1, mode="drop"),
+        kf_pt_inc=w(m.kf_pt_inc, _inc_row(m, obs_pt, frame.valid)),
         kf_bow_ids=(w(m.kf_bow_ids, bow[0]) if bow is not None
                     else m.kf_bow_ids),
         kf_bow_vals=(w(m.kf_bow_vals, bow[1]) if bow is not None
@@ -275,6 +286,7 @@ def add_points(
         pt_visible=m.pt_visible.at[ids].set(1, **mode),
         pt_found=m.pt_found.at[ids].set(1, **mode),
         pt_obs=m.pt_obs.at[ids].set(1, **mode),
+        kf_pt_inc=m.kf_pt_inc.at[kf_id, ids].set(1, **mode),
         n_pt=m.n_pt + jnp.sum(create_mask).astype(jnp.int32),
         kf_obs_pt=m.kf_obs_pt.at[kf_id, feat_idx].set(
             jnp.where(create_mask, ids, m.kf_obs_pt[kf_id, feat_idx]).astype(jnp.int32),
@@ -282,6 +294,56 @@ def add_points(
         ),
     )
     return m2, jnp.where(create_mask, ids, NO_POINT).astype(jnp.int32)
+
+
+def rebuild_incidence(m: MapState) -> MapState:
+    """Recompute kf_pt_inc and pt_obs from the observation table.
+
+    Called at the end of every mapping / loop phase (AFTER culling and
+    observation rebinds) so the cached incidence always reflects the final
+    state of the phase; per-frame tracking and loop detection read the
+    cache."""
+    obs_ok = m.kf_valid[:, None] & m.kf_feat_valid & (m.kf_obs_pt >= 0)
+    flat_k = jnp.repeat(jnp.arange(m.max_kf, dtype=jnp.int32), m.feat_cap)
+    flat_p = jnp.where(obs_ok, m.kf_obs_pt, m.max_pt).reshape(-1)
+    inc = jnp.zeros((m.max_kf, m.max_pt + 1), jnp.int8).at[flat_k, flat_p].set(
+        1, mode="drop")[:, : m.max_pt]
+    return m._replace(kf_pt_inc=inc,
+                      pt_obs=jnp.sum(inc.astype(jnp.int32), axis=0))
+
+
+def _inc_row(m: MapState, obs_pt: jnp.ndarray,
+             feat_valid: jnp.ndarray) -> jnp.ndarray:
+    """[P] int8 incidence row for one keyframe's observation row."""
+    idx = jnp.where(feat_valid & (obs_pt >= 0), obs_pt, m.max_pt)
+    return jnp.zeros(m.max_pt + 1, jnp.int8).at[idx].set(
+        1, mode="drop")[: m.max_pt]
+
+
+def covisibility_row_cached(m: MapState, pt_ids: jnp.ndarray) -> jnp.ndarray:
+    """[K] shared-observation counts of a point-id set vs every keyframe,
+    from the CACHED incidence matrix (one MXU matvec; ~20x cheaper than the
+    gather-based covisibility_row).  The cache is refreshed per mapping
+    phase — callers on the per-frame/loop-detection path tolerate (and the
+    reference's asynchronously-updated covisibility graph has) that
+    staleness window."""
+    z = jnp.zeros(m.max_pt + 1, jnp.float32).at[
+        jnp.where(pt_ids >= 0, pt_ids, m.max_pt)
+    ].set(1.0, mode="drop")[: m.max_pt]
+    counts = jnp.einsum(
+        "kp,p->k", m.kf_pt_inc.astype(jnp.bfloat16), z.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return counts.astype(jnp.int32) * m.kf_valid
+
+
+def covisibility_matrix_cached(m: MapState) -> jnp.ndarray:
+    """[K, K] KF-KF shared-observation counts = inc @ inc.T (one MXU
+    matmul)."""
+    inc = m.kf_pt_inc.astype(jnp.bfloat16)
+    C = jnp.einsum("kp,jp->kj", inc, inc,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    return C * m.kf_valid[:, None] * m.kf_valid[None, :]
 
 
 def covisibility_row(m: MapState, pt_ids: jnp.ndarray) -> jnp.ndarray:
@@ -296,6 +358,17 @@ def covisibility_row(m: MapState, pt_ids: jnp.ndarray) -> jnp.ndarray:
     )
     hits = indicator[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)] & (m.kf_obs_pt >= 0)
     return jnp.sum(hits & m.kf_feat_valid, axis=1).astype(jnp.int32) * m.kf_valid
+
+
+def points_of_keyframes_cached(m: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:
+    """[P] bool from the cached incidence matrix (one matvec; see
+    covisibility_row_cached for the staleness contract)."""
+    s = jnp.einsum(
+        "k,kp->p", kf_mask.astype(jnp.bfloat16),
+        m.kf_pt_inc.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (s > 0) & m.pt_valid
 
 
 def points_of_keyframes(m: MapState, kf_mask: jnp.ndarray) -> jnp.ndarray:

@@ -97,6 +97,7 @@ def try_initialize(
     m1 = m1._replace(
         kf_obs_pt=m1.kf_obs_pt.at[kf2, tgt].set(new_ids, mode="drop")
     )
+    m1 = ms.rebuild_incidence(m1)  # direct rebind above: refresh the cache
 
     # --- short full BA over the 2-KF map (reference runs GBA 20 iters) ---
     sel = jnp.stack([kf1, kf2])

@@ -70,8 +70,10 @@ def detect_reloc_candidates(config: SlamConfig, m: MapState,
     base_scores = jnp.where(cand0, scores, -jnp.inf)
     top_s, top_i = jax.lax.top_k(base_scores, min(N_GROUP, m.max_kf))
 
+    C = ms.covisibility_matrix_cached(m)
+
     def group_score(k):
-        row = ms.covisibility_row(m, m.kf_obs_pt[k]).at[k].set(0)
+        row = C[k].at[k].set(0)
         nbv, nbi = jax.lax.top_k(row, min(10, m.max_kf))
         nb_is_cand = cand0[nbi] & (nbv > 0)
         acc = scores[k] + jnp.sum(jnp.where(nb_is_cand, scores[nbi], 0.0))

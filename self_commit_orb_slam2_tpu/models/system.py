@@ -214,9 +214,21 @@ class System:
         # instead of after the entire batch.
         per_chunk_loops = (self._loop_closer is not None
                            and self._loop_closer.enabled)
+        # Upload scheduling: the tunnel serializes live host->device
+        # transfers with executions and charges a per-transfer stall (round-3
+        # measurement at 640x480: interleaved upload+dispatch ~11.5 ms/frame
+        # vs 3.8 ms/frame with device-resident inputs, raw bandwidth
+        # ~1 GB/s).  SLAM_UPLOAD_CHUNKS>1 uploads that many chunks per burst
+        # before dispatching them — fewer stalls but the burst serializes
+        # ahead of compute; on this tunnel the interleaved default (1) wins
+        # at small frames and ties at 640x480, so bursts stay opt-in.
+        S = max(1, int(os.environ.get("SLAM_UPLOAD_CHUNKS", "1")))
+        ks = list(range(0, B, C))
         packed_parts = []
         pending = None
-        for k in range(0, B, C):
+        device_bufs: dict[int, jnp.ndarray] = {}
+
+        def upload(k):
             n_live = min(C, B - k)
             pad = C - n_live
 
@@ -228,9 +240,18 @@ class System:
 
             valid = np.zeros(C, bool)
             valid[:n_live] = True
-            buf = pack(*(sl(a) for a in arrays), sl(ts), valid)
+            return jnp.asarray(pack(*(sl(a) for a in arrays), sl(ts), valid))
+
+        for i, k in enumerate(ks):
+            if k not in device_bufs:
+                # upload the next S chunks in one burst BEFORE dispatching
+                # them: back-to-back transfers amortize the stall
+                for kk in ks[i : i + S]:
+                    device_bufs[kk] = upload(kk)
+            n_live = min(C, B - k)
+            pad = C - n_live
             self.map, self.carry, packed = batch(
-                self.map, self.carry, jnp.asarray(buf),
+                self.map, self.carry, device_bufs.pop(k),
             )
             packed = packed if not pad else packed[:n_live]
             if per_chunk_loops:

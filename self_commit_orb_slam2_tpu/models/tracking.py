@@ -145,14 +145,16 @@ def track_local_map(
     scale_factors = jnp.asarray(config.orb.scale_factors())
     n_levels = config.orb.n_levels
 
-    # --- local keyframe set: sharers of current points, capped (:1895-1964) ---
-    counts = ms.covisibility_row(m, obs_pt)
+    # --- local keyframe set: sharers of current points, capped (:1895-1964).
+    # One matvec against the cached incidence matrix (refreshed per mapping
+    # phase) — the gather-based exact pass cost ~1.1ms/frame on v5e.
+    counts = ms.covisibility_row_cached(m, obs_pt)
     k = min(caps.local_keyframes, m.max_kf)
     topk, topk_idx = jax.lax.top_k(counts, k)
     local_kf_mask = jnp.zeros(m.max_kf, bool).at[topk_idx].set(topk > 0)
 
     # --- local points = points of local KFs, minus already-matched (:1857) ---
-    local_pt = ms.points_of_keyframes(m, local_kf_mask)
+    local_pt = ms.points_of_keyframes_cached(m, local_kf_mask)
     matched_ind = jnp.zeros(m.max_pt + 2, bool).at[
         jnp.where(obs_pt >= 0, obs_pt, m.max_pt + 1)
     ].set(True, mode="drop")
