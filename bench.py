@@ -98,8 +98,10 @@ def main():
 
     _, est = slam.get_trajectory()
     ate = ate_rmse(est, seq.poses_gt[: len(est)])
+    n_kf, n_pt = slam.n_keyframes(), slam.n_points()
 
     phases = phase_breakdown(cfg, slam, seq, sensor)
+    dev_fps = device_fps(slam, seq, second, sensor)
 
     print(json.dumps({
         "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat",
@@ -109,8 +111,8 @@ def main():
         "extra": {
             "ate_rmse_m": round(float(ate), 4),
             "n_frames": n_frames,
-            "keyframes": slam.n_keyframes(),
-            "map_points": slam.n_points(),
+            "keyframes": n_kf,
+            "map_points": n_pt,
             "median_ms": round(dt / B * 1e3, 2),
             "fps_max": round(max(samples), 1),
             "fps_samples": [round(s, 1) for s in samples],
@@ -118,8 +120,54 @@ def main():
             "tracking_lost": slam.state != 1,
             "mode": "batched",
             "phase_ms": phases,
+            # steady-state throughput with DEVICE-RESIDENT inputs: what a
+            # locally-attached chip sustains.  The headline value includes
+            # the remote tunnel, whose per-transfer stalls dominate at large
+            # frames (measured ~1 GB/s raw but ~6 ms/frame of stall when
+            # uploads interleave with execution).
+            "device_fps": dev_fps,
         },
     }))
+
+
+def device_fps(slam, seq, second, sensor, n_reps: int = 48):
+    """Pure-device steady-state fps: pre-upload one chunk, dispatch it
+    n_reps times against the live (donated) map state, fetch once."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from self_commit_orb_slam2_tpu.models import pipeline
+
+    C = slam._batch_chunk
+    batch = slam._batches[(slam.config.sensor, False)]
+    if sensor == "stereo":
+        a = np.clip(seq.images[1 : 1 + C], 0, 255).astype(np.uint8)
+        b = np.clip(seq.right_images[1 : 1 + C], 0, 255).astype(np.uint8)
+        pack = pipeline.pack_stereo_chunk
+    else:
+        a = np.clip(seq.images[1 : 1 + C], 0, 255).astype(np.uint8)
+        b = np.clip(seq.depths[1 : 1 + C] * 1e3, 0, 65535).astype(np.uint16)
+        pack = pipeline.pack_rgbd_chunk
+    ts = np.asarray(seq.timestamps[1 : 1 + C], np.float32)
+    buf = jax.block_until_ready(
+        jnp.asarray(pack(a, b, ts, np.ones(C, bool))))
+    m, carry = slam.map, slam.carry
+    # warm (the donated shapes are already compiled by the main run)
+    m, carry, packed = batch(m, carry, buf)
+    jax.block_until_ready(packed)
+    t0 = _t.perf_counter()
+    for _ in range(n_reps // C):
+        m, carry, packed = batch(m, carry, buf)
+    jax.block_until_ready(packed)
+    fps = (n_reps // C * C) / (_t.perf_counter() - t0)
+    # donation consumed the live handles: adopt the probe's final state
+    # (callers must capture map statistics BEFORE this probe — re-tracking
+    # the same frames inflates keyframe counts)
+    slam.map, slam.carry = m, carry
+    return round(fps, 1)
 
 
 def phase_breakdown(cfg, slam, seq, sensor):

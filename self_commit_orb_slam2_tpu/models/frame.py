@@ -75,12 +75,11 @@ def make_frame_stereo(
     """Stereo frame: extract both eyes, row-band match for depth (reference
     Frame stereo ctor src/Frame.cc:108-237)."""
     cam = config.camera
-    # extraction exposes its padded pyramid slab so the SAD matcher does not
-    # rebuild the pyramid (reference builds it once per eye too, Frame ctor)
-    feats_l, slab_l = orb_extractor.extract(image_l, config.orb,
-                                            return_slab=True)
-    feats_r, slab_r = orb_extractor.extract(image_r, config.orb,
-                                            return_slab=True)
+    # both eyes through ONE extraction kernel chain (double level-batch); the
+    # padded pyramid slabs feed the SAD matcher without a pyramid rebuild
+    # (reference builds each eye's pyramid once too, Frame ctor)
+    feats_l, feats_r, slab_l, slab_r = orb_extractor.extract_pair(
+        image_l, image_r, config.orb)
     dims = level_shapes(int(image_l.shape[0]), int(image_l.shape[1]),
                         config.orb.n_levels, config.orb.scale_factor)
     sm = stereo_ops.match_stereo(

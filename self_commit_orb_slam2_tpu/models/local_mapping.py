@@ -123,7 +123,7 @@ def cull_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState
     """Remove unreliable recent points (reference LocalMapping::MapPointCulling
     src/LocalMapping.cc:261-310): found-ratio < 0.25, or observed by too few
     keyframes a few keyframes after creation."""
-    obs_count = ms.observation_count(m)
+    obs_count = m.pt_obs  # cached; maintained at insertion + phase ends
     found_ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0
     )
@@ -176,12 +176,9 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     topv1, topi1 = jax.lax.top_k(counts, nn)
     first_mask = jnp.zeros(m.max_kf, bool).at[topi1].set(topv1 > 0)
     # second order: keyframes sharing points with the first-order set
-    nb_pts = ms.points_of_keyframes(m, first_mask)
-    ind2 = jnp.zeros(m.max_pt + 2, bool).at[: m.max_pt].set(nb_pts)
-    counts2 = jnp.sum(
-        ind2[jnp.clip(m.kf_obs_pt, 0, m.max_pt + 1)]
-        & (m.kf_obs_pt >= 0) & m.kf_feat_valid, axis=1,
-    ).astype(jnp.int32) * m.kf_valid
+    # (cached incidence matvecs — was two O(K*N) gather passes)
+    nb_pts = ms.points_of_keyframes_cached(m, first_mask)
+    counts2 = ms.covisibility_of_points_cached(m, nb_pts)
     counts2 = jnp.where(first_mask | (jnp.arange(m.max_kf) == kf_id),
                         0, counts2)
     topv2, topi2 = jax.lax.top_k(counts2, min(5, m.max_kf))
@@ -189,7 +186,7 @@ def fuse_into_keyframe(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     topi = jnp.concatenate([topi1, topi2])
     neigh_mask = jnp.zeros(m.max_kf, bool).at[topi].set(topv > 0)
 
-    cand_mask = ms.points_of_keyframes(m, neigh_mask)
+    cand_mask = ms.points_of_keyframes_cached(m, neigh_mask)
     # exclude points the KF already observes
     own = m.kf_obs_pt[kf_id]
     own_ind = jnp.zeros(m.max_pt + 2, bool).at[
@@ -563,8 +560,8 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     victim = topi[worst]
     do_cull = red[worst] >= config.tracking.kf_cull_redundancy
 
-    # parent = its most covisible surviving keyframe
-    vcounts = ms.covisibility_row(m, m.kf_obs_pt[victim])
+    # parent = its most covisible surviving keyframe (cached incidence)
+    vcounts = ms.covisibility_row_cached(m, m.kf_obs_pt[victim])
     vcounts = vcounts.at[victim].set(0)
     parent = jnp.argmax(vcounts).astype(jnp.int32)
     Tcp = m.kf_Tcw[victim] @ se3.inverse(m.kf_Tcw[parent])
@@ -612,7 +609,10 @@ def _process(config: SlamConfig, m: MapState, kf_id: jnp.ndarray) -> MapState:
     intra-pass staleness matches its semantics and saves ~4 O(K*N) passes.
     """
     m = cull_points(config, m, kf_id)
-    counts = ms.covisibility_row(m, m.kf_obs_pt[kf_id])
+    # cached incidence (fresh: row-updated at insertion, rebuilt at the end
+    # of the previous phase; in-phase staleness matches the reference's
+    # asynchronously-refreshed covisibility graph)
+    counts = ms.covisibility_row_cached(m, m.kf_obs_pt[kf_id])
     obs_count = ms.observation_count(m)
     m = create_new_points(config, m, kf_id, counts=counts)
     m = fuse_into_keyframe(config, m, kf_id, counts=counts,

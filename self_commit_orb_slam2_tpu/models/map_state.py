@@ -337,6 +337,17 @@ def covisibility_row_cached(m: MapState, pt_ids: jnp.ndarray) -> jnp.ndarray:
     return counts.astype(jnp.int32) * m.kf_valid
 
 
+def covisibility_of_points_cached(m: MapState, pt_mask: jnp.ndarray) -> jnp.ndarray:
+    """[K] count of points from a [P] bool mask observed by each keyframe
+    (cached incidence matvec)."""
+    counts = jnp.einsum(
+        "kp,p->k", m.kf_pt_inc.astype(jnp.bfloat16),
+        pt_mask.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return counts.astype(jnp.int32) * m.kf_valid
+
+
 def covisibility_matrix_cached(m: MapState) -> jnp.ndarray:
     """[K, K] KF-KF shared-observation counts = inc @ inc.T (one MXU
     matmul)."""

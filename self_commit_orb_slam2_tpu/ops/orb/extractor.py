@@ -156,6 +156,82 @@ def extract(image: jnp.ndarray, config: OrbConfig,
     return feats
 
 
+def extract_pair(image_l: jnp.ndarray, image_r: jnp.ndarray,
+                 config: OrbConfig):
+    """ORB extraction for BOTH stereo eyes through ONE kernel chain.
+
+    The two pyramids stack into a single [2L, H0, W0] slab, so FAST + NMS +
+    selection + blur + orientation/BRIEF each run once at double batch
+    instead of twice (the reference runs the two eyes in two std::threads,
+    Frame.cc:108-237; here the batch axis is the parallelism).  Returns
+    (feats_l, feats_r, slab_l, slab_r) — the slabs feed the stereo SAD
+    matcher."""
+    L = config.n_levels
+    budgets = config.level_budgets()
+    scales = jnp.asarray(config.scale_factors())
+    levels_l = pyramid.build_pyramid(image_l, L, config.scale_factor)
+    levels_r = pyramid.build_pyramid(image_r, L, config.scale_factor)
+    level_dims = [tuple(l.shape) for l in levels_l]
+    H0, W0 = level_dims[0]
+    slab_l = pyramid.stack_slab(levels_l)
+    slab_r = pyramid.stack_slab(levels_r)
+    slab = jnp.concatenate([slab_l, slab_r])          # [2L, H0, W0]
+
+    use_pallas = config.use_pallas_fast and jax.default_backend() == "tpu"
+    if use_pallas:
+        from . import fast_pallas
+
+        hi2, lo2 = fast_pallas.fast_nms_hi_lo(
+            slab.reshape(2 * L * H0, W0),
+            config.fast_threshold_hi, config.fast_threshold_lo,
+        )
+        hi = hi2.reshape(2 * L, H0, W0)
+        lo = lo2.reshape(2 * L, H0, W0)
+    else:
+        hi = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_hi))
+        lo = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_lo))
+
+    kps = detect.select_keypoints_slab(
+        hi, lo, budgets * 2, level_dims * 2,
+        cell=config.cell_size, border=config.border,
+    )
+    blurred = pyramid.gaussian_blur(slab)
+    if H0 >= sample.PATCH and W0 >= sample.PATCH:
+        ang, desc = sample.orient_and_describe(slab, blurred, kps.xy, kps.level)
+    else:
+        ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
+        desc = brief.describe_slab(blurred, kps.xy, kps.level, ang,
+                                   level_dims * 2)
+
+    capL = sum(budgets)
+    pad = config.feat_capacity() - capL
+
+    def split(sl):
+        lvl = kps.level[sl] % L
+        f = OrbFeatures(
+            xy=kps.xy[sl] * scales[lvl][:, None],
+            response=kps.response[sl],
+            angle=ang[sl],
+            level=lvl,
+            desc=desc[sl],
+            valid=kps.valid[sl],
+        )
+        if pad:
+            f = OrbFeatures(
+                xy=jnp.pad(f.xy, ((0, pad), (0, 0))),
+                response=jnp.pad(f.response, (0, pad)),
+                angle=jnp.pad(f.angle, (0, pad)),
+                level=jnp.pad(f.level, (0, pad)),
+                desc=jnp.pad(f.desc, ((0, pad), (0, 0))),
+                valid=jnp.pad(f.valid, (0, pad)),
+            )
+        return f
+
+    feats_l = split(slice(0, capL))
+    feats_r = split(slice(capL, 2 * capL))
+    return feats_l, feats_r, slab_l, slab_r
+
+
 def build_extractor(config: OrbConfig):
     """Returns a jitted extract(image) -> OrbFeatures closure."""
     return jax.jit(functools.partial(extract, config=config))
