@@ -108,9 +108,13 @@ class System:
         self._reloc_key = jax.random.PRNGKey(0)
         # streaming chunk size for _track_batch (frames per device dispatch);
         # small enough that upload(k+1) overlaps compute(k), large enough to
-        # amortize dispatch overhead over the tunnel (round-3 sweep at
-        # 640x480: chunk 8 > 12 > 4 end-to-end on the tunneled v5e)
-        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "8"))
+        # amortize the tunnel's per-transfer stall.  Round-3 sweeps: small
+        # frames (320x240, ~0.2MB/frame) peak at chunk 4, large frames
+        # (640x480+, ~1MB/frame) at chunk 8 — default by upload volume.
+        frame_bytes = int(cfg.camera.width) * int(cfg.camera.height) * (
+            2 if cfg.sensor == "stereo" else 3)
+        self._batch_chunk = int(os.environ.get(
+            "SLAM_BATCH_CHUNK", "4" if frame_bytes < 500_000 else "8"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:
