@@ -59,6 +59,14 @@ def main():
     # of RGB-D depth lookup); default rgbd matches the TUM configuration
     sensor = "stereo" if ("--sensor=stereo" in sys.argv or kitti_scale) \
         else "rgbd"
+    # --with-vocab: run with the shipped vocabulary loaded (loop closing +
+    # relocalization live, like the reference which always loads ORBvoc.txt)
+    vocab = None
+    if "--with-vocab" in sys.argv:
+        from self_commit_orb_slam2_tpu.ops.bow import load_vocabulary
+        from self_commit_orb_slam2_tpu.run_slam import _default_vocab_path
+
+        vocab = load_vocabulary(_default_vocab_path())
 
     seq = generate_sequence(n_frames=n_frames, width=width, height=height, fx=fx,
                             seed=5,
@@ -71,6 +79,7 @@ def main():
         caps=Capacities(max_keyframes=64, max_points=16384, local_points=1024),
         tracking=TrackingConfig(max_frames_between_kf=10),
         sensor=sensor,
+        vocab=vocab,
     )
     slam = System(cfg)
     second = seq.right_images if sensor == "stereo" else seq.depths

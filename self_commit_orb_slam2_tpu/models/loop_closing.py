@@ -520,46 +520,76 @@ class LoopCloser:
         # LoopClosing.cc:229-305)
         self._consistent_groups: list = []
         self._key = jax.random.PRNGKey(7)
+        # vmapped multi-keyframe detection batch width: keyframes created in
+        # one batched chunk-group detect in ONE device call + ONE fetch (on
+        # a remote-attached TPU every fetch stalls the stream)
+        self.MAX_DETECT = 4
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
+            self._jit_detect_many = jax.jit(jax.vmap(
+                functools.partial(detect_and_verify, config),
+                in_axes=(None, 0, 0)))
             self._jit_correct = jax.jit(
                 functools.partial(correct_loop, config), donate_argnums=0
             )
 
     def process(self, m: MapState, kf_id) -> MapState:
-        if not self.enabled:
+        return self.process_group(m, [int(kf_id)])
+
+    def process_group(self, m: MapState, slots: list) -> MapState:
+        """Loop detection for a group of just-created keyframes: ONE vmapped
+        detection call + ONE host fetch for the whole group (the reference's
+        LoopClosing thread pops its queue one KF at a time,
+        LoopClosing.cc:114-130; the semantics per KF are identical, the
+        batching only removes per-KF device round trips)."""
+        if not self.enabled or not slots:
             return m
-        self._kf_counter += 1
-        kf_id = jnp.asarray(kf_id, jnp.int32)
-        if self._kf_counter - self.last_loop_kf < COOLDOWN:
-            return m
-        self._key, sub = jax.random.split(self._key)
-        det = self._jit_detect(m, kf_id, sub)
         import numpy as np
 
-        groups = np.asarray(det.groups)
-        g_ok = np.asarray(det.group_ok)
-        # chain BoW-stage candidate groups against last keyframe's groups
-        # (pre-Sim3, like the reference); keep ALL consistent groups
-        new_groups = []
-        chains = np.zeros(len(g_ok), np.int32)
-        for c in range(len(g_ok)):
-            if not g_ok[c]:
-                continue
-            chain = 1 + max(
-                (n for g, n in self._consistent_groups
-                 if bool((g & groups[c]).any())), default=0,
-            )
-            chains[c] = chain
-            new_groups.append((groups[c], chain))
-        self._consistent_groups = new_groups
-        if bool(det.found):
-            best_c = int(det.best_c)
-            if chains[best_c] >= self.config.tracking.loop_consistency_th:
-                m = self._jit_correct(m, kf_id, det)
-                if _needs_sharded_gba(self.config, m):
-                    m = run_sharded_gba(self.config, m, int(det.cand_kf))
-                self.last_loop_kf = self._kf_counter
-                self.n_big_changes += 1
-                self._consistent_groups = []
+        live = []
+        for s in slots:
+            self._kf_counter += 1
+            if self._kf_counter - self.last_loop_kf >= COOLDOWN:
+                live.append((self._kf_counter, int(s)))
+        if not live:
+            return m
+        th = self.config.tracking.loop_consistency_th
+        for start in range(0, len(live), self.MAX_DETECT):
+            part = live[start : start + self.MAX_DETECT]
+            D = len(part)  # width = group size (per-frame mode stays at 1,
+            #                keeping the PRNG stream identical to the
+            #                sequential formulation)
+            slots_arr = np.asarray([s for _, s in part], np.int32)
+            self._key, *subs = jax.random.split(self._key, D + 1)
+            dets = self._jit_detect_many(m, jnp.asarray(slots_arr),
+                                         jnp.stack(subs))
+            # ONE fetch for everything the host logic needs
+            found_a, best_a, groups_a, gok_a, cand_a = jax.device_get(
+                (dets.found, dets.best_c, dets.groups, dets.group_ok,
+                 dets.cand_kf))
+            for i, (counter, s) in enumerate(part):
+                if counter - self.last_loop_kf < COOLDOWN:
+                    continue  # an earlier keyframe in this group just fired
+                groups = groups_a[i]
+                g_ok = gok_a[i]
+                new_groups = []
+                chains = np.zeros(len(g_ok), np.int32)
+                for c in range(len(g_ok)):
+                    if not g_ok[c]:
+                        continue
+                    chain = 1 + max(
+                        (n for g, n in self._consistent_groups
+                         if bool((g & groups[c]).any())), default=0,
+                    )
+                    chains[c] = chain
+                    new_groups.append((groups[c], chain))
+                self._consistent_groups = new_groups
+                if bool(found_a[i]) and chains[int(best_a[i])] >= th:
+                    det_i = jax.tree.map(lambda x: x[i], dets)
+                    m = self._jit_correct(m, jnp.int32(s), det_i)
+                    if _needs_sharded_gba(self.config, m):
+                        m = run_sharded_gba(self.config, m, int(cand_a[i]))
+                    self.last_loop_kf = counter
+                    self.n_big_changes += 1
+                    self._consistent_groups = []
         return m

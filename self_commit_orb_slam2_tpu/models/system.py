@@ -209,15 +209,18 @@ class System:
         ts = np.asarray(timestamps[i0:], np.float32)
         B = len(ts)
         C = chunk or min(B, self._batch_chunk)
-        # Per-CHUNK loop closing (reference LoopClosing consumes its queue
-        # within ~one keyframe of insertion, src/LoopClosing.cc:114-130):
-        # when place recognition is enabled, each chunk's StepInfo is fetched
-        # one chunk behind the dispatch (so the transfer overlaps the next
-        # chunk's compute) and any created keyframes run loop detection
-        # immediately — corrections land within ~2 chunks of the keyframe
-        # instead of after the entire batch.
+        # Per-CHUNK-GROUP loop closing (reference LoopClosing consumes its
+        # queue within ~one keyframe of insertion, src/LoopClosing.cc:114-130):
+        # when place recognition is enabled, StepInfo is fetched every
+        # `stride` chunks (ONE device-side concat + ONE transfer — each D2H
+        # fetch mid-stream stalls the tunnel exactly like the uploads do,
+        # measured ~100fps -> ~35fps when fetching every chunk) and any
+        # created keyframes run loop detection then — corrections land
+        # within ~stride chunks of keyframe creation instead of after the
+        # entire batch.
         per_chunk_loops = (self._loop_closer is not None
                            and self._loop_closer.enabled)
+        stride = max(1, int(os.environ.get("SLAM_LOOP_CHUNK_STRIDE", "4")))
         # Upload scheduling: the tunnel serializes live host->device
         # transfers with executions and charges a per-transfer stall (round-3
         # measurement at 640x480: interleaved upload+dispatch ~11.5 ms/frame
@@ -229,7 +232,7 @@ class System:
         S = max(1, int(os.environ.get("SLAM_UPLOAD_CHUNKS", "1")))
         ks = list(range(0, B, C))
         packed_parts = []
-        pending = None
+        pending = []
         device_bufs: dict[int, jnp.ndarray] = {}
 
         def upload(k):
@@ -259,13 +262,19 @@ class System:
             )
             packed = packed if not pad else packed[:n_live]
             if per_chunk_loops:
-                if pending is not None:
-                    packed_parts.append(self._consume_chunk_infos(pending))
-                pending = packed
+                pending.append(packed)
+                if len(pending) >= stride:
+                    cat = (pending[0] if len(pending) == 1
+                           else jnp.concatenate(pending, axis=0))
+                    packed_parts.append(self._consume_chunk_infos(cat))
+                    pending = []
             else:
                 packed_parts.append(packed)
         if per_chunk_loops:
-            packed_parts.append(self._consume_chunk_infos(pending))
+            if pending:
+                cat = (pending[0] if len(pending) == 1
+                       else jnp.concatenate(pending, axis=0))
+                packed_parts.append(self._consume_chunk_infos(cat))
             packed_all = np.concatenate(packed_parts, axis=0)
         else:
             packed_all = np.asarray(
@@ -300,6 +309,7 @@ class System:
         if len(created):
             kf_seq, kf_valid = jax.device_get(
                 (self.map.kf_seq, self.map.kf_valid))
+            slots, b_last = [], None
             for b in created:
                 seq = int(infos.ref_kf_seq[b])
                 slot = int(infos.ref_kf[b])
@@ -309,11 +319,17 @@ class System:
                     if len(live) == 0:
                         continue  # culled before loop processing could run
                     slot = int(live[0])
+                slots.append(slot)
+                b_last = b
+            if slots:
                 before = self._loop_closer.n_big_changes
-                self.map = self._loop_closer.process(self.map, slot)
+                self.map = self._loop_closer.process_group(self.map, slots)
                 if self._loop_closer.n_big_changes != before:
+                    # re-base the carry by the newest keyframe's pose delta
+                    # (the chain-end correction is what the live tracking
+                    # state must follow)
                     self._apply_correction_to_carry(
-                        slot, infos.ref_kf_Tcw[b])
+                        slots[-1], infos.ref_kf_Tcw[b_last])
         return arr
 
     def _apply_correction_to_carry(self, kf_slot: int,

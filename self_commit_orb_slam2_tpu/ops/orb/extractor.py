@@ -120,12 +120,13 @@ def extract(image: jnp.ndarray, config: OrbConfig,
     kps = detect.select_keypoints_slab(
         hi, lo, budgets, level_dims, cell=config.cell_size, border=config.border
     )
-    blurred = pyramid.gaussian_blur(slab)
     if H0 >= sample.PATCH and W0 >= sample.PATCH:
-        # fused patch path: one dynamic_slice pair + one-hot matmul sampling
-        # per keypoint (gathers are ~8ns/element on TPU; this is ~6x faster)
-        ang, desc = sample.orient_and_describe(slab, blurred, kps.xy, kps.level)
+        # fused patch path: row-gather + one-hot matmul sampling with
+        # PATCH-LOCAL blur (the full-slab Gaussian is only ever read at the
+        # patch sites, so it is skipped entirely)
+        ang, desc = sample.orient_and_describe(slab, kps.xy, kps.level)
     else:  # tiny images: plain gather fallback
+        blurred = pyramid.gaussian_blur(slab)
         ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
         desc = brief.describe_slab(blurred, kps.xy, kps.level, ang, level_dims)
 
@@ -195,10 +196,10 @@ def extract_pair(image_l: jnp.ndarray, image_r: jnp.ndarray,
         hi, lo, budgets * 2, level_dims * 2,
         cell=config.cell_size, border=config.border,
     )
-    blurred = pyramid.gaussian_blur(slab)
     if H0 >= sample.PATCH and W0 >= sample.PATCH:
-        ang, desc = sample.orient_and_describe(slab, blurred, kps.xy, kps.level)
+        ang, desc = sample.orient_and_describe(slab, kps.xy, kps.level)
     else:
+        blurred = pyramid.gaussian_blur(slab)
         ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
         desc = brief.describe_slab(blurred, kps.xy, kps.level, ang,
                                    level_dims * 2)

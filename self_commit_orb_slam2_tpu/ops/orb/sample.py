@@ -34,22 +34,45 @@ import numpy as np
 from .brief_pattern import BIT_PATTERN_31
 from .orientation import _DX, _DY, HALF_PATCH
 
-PATCH = 48  # covers the rotated pattern reach (15*sqrt(2) ~ 21.3 -> +-22)
+PATCH = 56  # rotated pattern reach (<=22) + 3px blur halo + margins
 
 _PATTERN_XY = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2).astype(np.float32)
 _BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
 
 
+def _patch_blur_matrix(ps: int, ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    """[ps, ps] banded separable-Gaussian matrix (interior rows are the pure
+    7-tap kernel; the 3px edge rows renormalize, but every BRIEF tap stays
+    >= 3px inside the patch so only interior rows are ever read)."""
+    half = ksize // 2
+    k = np.exp(-0.5 * ((np.arange(ksize) - half) / sigma) ** 2)
+    k /= k.sum()
+    B = np.zeros((ps, ps), np.float32)
+    for i in range(ps):
+        lo = max(i - half, 0)
+        hi = min(i + half + 1, ps)
+        w = k[lo - (i - half) : ksize - ((i + half + 1) - hi)]
+        B[i, lo:hi] = w / w.sum()
+    return B
+
+
 def orient_and_describe(
     slab_raw: jnp.ndarray,
-    slab_blur: jnp.ndarray,
     xy: jnp.ndarray,
     level: jnp.ndarray,
 ):
     """Angles [N] and descriptors [N, 8] uint32 for all keypoints at once.
 
-    slab_raw/slab_blur: [L, H0, W0] padded pyramid stacks (see stack_slab).
+    slab_raw: [L, H0, W0] padded pyramid stack (see stack_slab).
     xy: [N, 2] level-LOCAL keypoint positions; level: [N] int32.
+
+    The 7x7 sigma=2 Gaussian the reference applies before BRIEF
+    (src/ORBextractor.cc:1629-1643) runs ON THE PATCH (two [ps, ps] banded
+    matmuls) instead of over the full slab: the blurred image is only ever
+    read at the <=N patch sites, so patch-local blur does ~12x less work
+    and removes the second (blurred) slab fetch entirely.  Every BRIEF tap
+    lies >= 3px inside the patch, where the patch blur equals the
+    full-image blur tap-for-tap.
     """
     L, H0, W0 = slab_raw.shape
     ps = PATCH
@@ -63,20 +86,21 @@ def orient_and_describe(
     # Patch fetch: vmapped dynamic_slice lowers to a SEQUENTIAL per-keypoint
     # while loop on TPU (one tiny fused slice per keypoint — measured
     # ~0.6ms/frame at N=512).  A row gather is ONE vectorized op: fetch the
-    # ps patch rows of both slabs (rows are contiguous 128-lane reads), then
-    # select the ps columns with a one-hot matmul on the MXU.
+    # ps patch rows (rows are contiguous 128-lane reads), then select the ps
+    # columns with a one-hot matmul on the MXU.
     #
     # The rows are gathered from a COLUMN-BLOCKED copy of the slab (width-BW
     # windows on a 32-px stride): fetching full W0-wide rows and one-hot
-    # selecting over W0 moved ~2*N*ps*W0 floats per frame (~250MB at
-    # 640x480/N=1024); block-local rows cut the gather and the selector to
-    # width 80 (~10x less HBM traffic for the same exact result).
+    # selecting over W0 moved ~N*ps*W0 floats per frame; block-local rows
+    # cut the gather and the selector to width BW (~7x less HBM traffic for
+    # the same exact result).
     N = xy.shape[0]
-    STRIDE, BW = 32, 80  # BW >= STRIDE + ps - 1 + 1; taps stay in-block
+    STRIDE = 32
+    BW = STRIDE + ps  # taps stay in-block for any x0 offset in [0, STRIDE)
     nb = max((W0 - BW + STRIDE - 1) // STRIDE, 0) + 1
-    big2d = jnp.concatenate([slab_raw, slab_blur]).reshape(2 * L * H0, W0)
+    big2d = slab_raw.reshape(L * H0, W0)
     padded = jnp.pad(big2d, ((0, 0), (0, STRIDE * (nb - 1) + BW - W0)))
-    # [2LH0, nb, BW] strided windows -> [2LH0 * nb, BW]
+    # [LH0, nb, BW] strided windows -> [LH0 * nb, BW]
     blocks = jnp.stack(
         [padded[:, b * STRIDE : b * STRIDE + BW] for b in range(nb)], axis=1
     ).reshape(-1, BW)
@@ -84,17 +108,17 @@ def orient_and_describe(
     off = x0 - blk * STRIDE                              # [N] in [0, STRIDE)
     rowidx = (level[:, None] * H0 + y0[:, None] + iota[None, :]) * nb \
         + blk[:, None]                                   # [N, ps]
-    rows2 = jnp.take(
-        blocks,
-        jnp.concatenate([rowidx, rowidx + L * H0 * nb], 1).reshape(-1),
-        axis=0,
-    ).reshape(N, 2, ps, BW)
+    rows = jnp.take(blocks, rowidx.reshape(-1), axis=0).reshape(N, ps, BW)
     colsel = (
         jnp.arange(BW, dtype=jnp.int32)[None, :, None]
         == (off[:, None, None] + iota[None, None, :])
     ).astype(jnp.float32)                                # [N, BW, ps]
-    pat2 = jnp.einsum("ncpw,nwq->ncpq", rows2, colsel)
-    raw, blur = pat2[:, 0], pat2[:, 1]
+    raw = jnp.einsum("npw,nwq->npq", rows, colsel)       # [N, ps, ps]
+
+    # patch-local blur (reads confined to >=3px inside the patch)
+    Bm = jnp.asarray(_patch_blur_matrix(ps))
+    blur = jnp.einsum("ij,njk->nik", Bm, raw)
+    blur = jnp.einsum("nik,lk->nil", blur, Bm)
 
     # --- orientation: 31x31 disc moments from the raw patch --------------
     d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.int32)
