@@ -77,8 +77,8 @@ kps = jax.block_until_ready(kps)
 scan_time("gaussian blur slab", lambda: pyramid.gaussian_blur(slab))
 blurred = jax.block_until_ready(jax.jit(pyramid.gaussian_blur)(slab))
 
-scan_time("orient_and_describe", lambda: sample.orient_and_describe(
-    slab, blurred, kps.xy, kps.level))
+scan_time("orient_and_describe (patch blur)",
+          lambda: sample.orient_and_describe(slab, kps.xy, kps.level))
 
 scan_time("FULL extract (XLA fast)", lambda: orb_ext.extract(img, cfg))
 cfg_p = cfg._replace(use_pallas_fast=True)
