@@ -197,7 +197,11 @@ def detect_and_verify(
     common = bow_ops.sparse_common_words(q_ids, m.kf_bow_ids)
     max_common = jnp.max(jnp.where(eligible, common, 0))
     word_ok = common.astype(jnp.float32) >= 0.8 * max_common.astype(jnp.float32)
-    cand0 = eligible & word_ok & (scores >= jnp.maximum(min_score, 0.015))
+    # score gate is exactly the reference's: si >= minScore (computed from
+    # the covisible neighbourhood, KeyFrameDatabase.cc:104-160) — no extra
+    # absolute floor, whose fixed constant could silently suppress every
+    # candidate on imagery with a different score distribution
+    cand0 = eligible & word_ok & (scores >= min_score)
 
     # covisibility-group accumulated scores over the best N_GROUP candidates
     # (KeyFrameDatabase.cc:180-239): each candidate's score is summed with
@@ -244,8 +248,8 @@ def detect_and_verify(
     # corrected pose; total matches must reach 40
     group_mask = groups[best_c]
     gpt = ms.points_of_keyframes_cached(m, group_mask)
-    C = config.caps.local_points
-    gids = jnp.nonzero(gpt, size=C, fill_value=m.max_pt)[0]
+    CAP = config.caps.local_points
+    gids = jnp.nonzero(gpt, size=CAP, fill_value=m.max_pt)[0]
     g_ok = gids < m.max_pt
     g_c = jnp.clip(gids, 0, m.max_pt - 1)
     # corrected current pose: Scw = S_cur_cand . S_cand_w
@@ -258,7 +262,7 @@ def detect_and_verify(
         & (uvc[:, 1] >= 0) & (uvc[:, 1] < cam.height)
     pm = mcore.mutual_best_match(
         m.pt_desc[g_c], m.kf_desc[kf_id],
-        mcore.window_mask(uvc, m.kf_xy[kf_id], jnp.full(C, 10.0)),
+        mcore.window_mask(uvc, m.kf_xy[kf_id], jnp.full(CAP, 10.0)),
         visc, m.kf_feat_valid[kf_id], max_dist=mcore.TH_LOW, ratio=None,
     )
     n_proj = jnp.sum(pm.valid).astype(jnp.int32)
@@ -306,8 +310,8 @@ def _search_and_fuse_loop(
     # loop-side points: everything observed by the winning candidate's group
     loop_mask = det.groups[det.best_c]
     lpt = ms.points_of_keyframes_cached(m, loop_mask)
-    C = config.caps.local_points
-    cand = jnp.nonzero(lpt, size=C, fill_value=m.max_pt)[0]
+    CAP = config.caps.local_points
+    cand = jnp.nonzero(lpt, size=CAP, fill_value=m.max_pt)[0]
     cand_ok = cand < m.max_pt
     cand_c = jnp.clip(cand, 0, m.max_pt - 1)
     pos = m.pt_pos[cand_c]
@@ -524,6 +528,11 @@ class LoopCloser:
         # one batched chunk-group detect in ONE device call + ONE fetch (on
         # a remote-attached TPU every fetch stalls the stream)
         self.MAX_DETECT = 4
+        # group detections are computed against ONE pre-correction map
+        # snapshot; after a mid-group correction fires, the remaining
+        # detections are stale and must be discarded — the inner COOLDOWN
+        # check does that only while MAX_DETECT < COOLDOWN holds
+        assert self.MAX_DETECT < COOLDOWN
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
             self._jit_detect_many = jax.jit(jax.vmap(

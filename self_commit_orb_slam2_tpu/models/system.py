@@ -346,9 +346,14 @@ class System:
         if self.carry is None:
             return
         kf_new = np.asarray(self.map.kf_Tcw[kf_slot])
-        delta = kf_new @ np.linalg.inv(np.asarray(kf_Tcw_at_track))
+        # preserve the camera-to-keyframe RELATIVE pose: new_Tcw =
+        # Tcw · Tkw_old⁻¹ · Tkw_new (the delta acts in the keyframe's frame,
+        # not the camera's — left-multiplying applied it in camera coords
+        # and the error grew with the camera–keyframe offset)
         new_Tcw = jnp.asarray(
-            (delta @ np.asarray(self.carry.Tcw)).astype(np.float32))
+            (np.asarray(self.carry.Tcw)
+             @ np.linalg.inv(np.asarray(kf_Tcw_at_track))
+             @ kf_new).astype(np.float32))
         self.carry = self.carry._replace(Tcw=new_Tcw)
         self.Tcw = new_Tcw
 

@@ -62,18 +62,24 @@ def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
 
 
 def resize_linear(image: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize via two banded matmuls (MXU-friendly)."""
-    h_in, w_in = image.shape
+    """Bilinear resize via two banded matmuls (MXU-friendly).
+
+    Accepts leading batch dims ([..., H, W]) — a frame batch resizes in one
+    pair of batched matmuls."""
+    h_in, w_in = image.shape[-2:]
     h_out, w_out = shape
     Rv = jnp.asarray(_resize_matrix(h_out, h_in))
     Rh = jnp.asarray(_resize_matrix(w_out, w_in))
-    out = jnp.dot(Rv, image, preferred_element_type=jnp.float32)
-    return jnp.dot(out, Rh.T, preferred_element_type=jnp.float32)
+    out = jnp.matmul(Rv, image, preferred_element_type=jnp.float32)
+    return jnp.matmul(out, Rh.T, preferred_element_type=jnp.float32)
 
 
 def build_pyramid(image: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.ndarray]:
-    """Grayscale [H, W] float32 -> list of n_levels arrays, level 0 = input."""
-    h, w = image.shape
+    """Grayscale [H, W] float32 -> list of n_levels arrays, level 0 = input.
+
+    Also accepts a batch [B, H, W] -> list of [B, h, w] (same chained-resize
+    semantics per frame; the banded matmuls batch over the leading dim)."""
+    h, w = image.shape[-2:]
     shapes = level_shapes(h, w, n_levels, scale)
     levels = [image]
     for lv in range(1, n_levels):

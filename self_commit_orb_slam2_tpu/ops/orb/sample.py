@@ -41,18 +41,18 @@ _BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
 
 
 def _patch_blur_matrix(ps: int, ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
-    """[ps, ps] banded separable-Gaussian matrix (interior rows are the pure
-    7-tap kernel; the 3px edge rows renormalize, but every BRIEF tap stays
-    >= 3px inside the patch so only interior rows are ever read)."""
+    """[ps, ps] banded separable-Gaussian matrix.  Interior rows are the pure
+    7-tap kernel; the 3px edge rows fold out-of-range taps onto the edge
+    element (replicate-pad semantics), so when a keypoint sits close enough
+    to a level edge that clipped BRIEF taps read patch rows 0-2, the result
+    matches blurring the replicate-padded slab tap-for-tap."""
     half = ksize // 2
     k = np.exp(-0.5 * ((np.arange(ksize) - half) / sigma) ** 2)
     k /= k.sum()
     B = np.zeros((ps, ps), np.float32)
     for i in range(ps):
-        lo = max(i - half, 0)
-        hi = min(i + half + 1, ps)
-        w = k[lo - (i - half) : ksize - ((i + half + 1) - hi)]
-        B[i, lo:hi] = w / w.sum()
+        for j in range(ksize):
+            B[i, min(max(i - half + j, 0), ps - 1)] += k[j]
     return B
 
 
@@ -70,9 +70,10 @@ def orient_and_describe(
     (src/ORBextractor.cc:1629-1643) runs ON THE PATCH (two [ps, ps] banded
     matmuls) instead of over the full slab: the blurred image is only ever
     read at the <=N patch sites, so patch-local blur does ~12x less work
-    and removes the second (blurred) slab fetch entirely.  Every BRIEF tap
-    lies >= 3px inside the patch, where the patch blur equals the
-    full-image blur tap-for-tap.
+    and removes the second (blurred) slab fetch entirely.  Interior BRIEF
+    taps (>= 3px inside the patch) see the pure 7-tap kernel; taps clipped
+    to the patch edge (keypoints within ~26px of a level edge) see
+    replicate-pad blur, matching stack_slab's replicate edge semantics.
     """
     L, H0, W0 = slab_raw.shape
     ps = PATCH
@@ -97,7 +98,10 @@ def orient_and_describe(
     N = xy.shape[0]
     STRIDE = 32
     BW = STRIDE + ps  # taps stay in-block for any x0 offset in [0, STRIDE)
-    nb = max((W0 - BW + STRIDE - 1) // STRIDE, 0) + 1
+    # every reachable block index blk = x0 // STRIDE with x0 <= W0 - ps must
+    # have a window: nb = blk_max + 1 (widths ≡ 24 mod 32 used to compute one
+    # block too few, wrapping right-edge patches into the next image row)
+    nb = max(W0 - ps, 0) // STRIDE + 1
     big2d = slab_raw.reshape(L * H0, W0)
     padded = jnp.pad(big2d, ((0, 0), (0, STRIDE * (nb - 1) + BW - W0)))
     # [LH0, nb, BW] strided windows -> [LH0 * nb, BW]
