@@ -96,6 +96,63 @@ def make_frame_stereo(
     )
 
 
+def make_frames_rgbd_batch(
+    config: SlamConfig, images: jnp.ndarray, depth_maps: jnp.ndarray
+) -> FrameData:
+    """RGB-D frames for a whole chunk: [B, H, W] images/depths -> FrameData
+    with leading batch dim [B, N, ...].
+
+    Frame construction has no frame-to-frame dependency, so the chunked
+    streaming pipeline builds ALL frames of a chunk through ONE batched
+    extraction chain (ops/orb/extractor.extract_batch) before the sequential
+    tracking scan — the reference necessarily interleaves construction with
+    tracking because each CPU frame is serial (src/Frame.cc:238-349)."""
+    feats, _ = orb_extractor.extract_batch(images, config.orb)
+    cam = config.camera
+    xy_und = (jax.vmap(lambda xy: undistort_points(cam, xy))(feats.xy)
+              if cam.has_distortion else feats.xy)
+    sm = jax.vmap(
+        lambda xy, v, d: stereo_ops.stereo_from_depth(
+            xy, v, d, cam.bf, config.depth_map_factor)
+    )(feats.xy, feats.valid, depth_maps)
+    return FrameData(
+        xy=xy_und, xy_raw=feats.xy, response=feats.response, angle=feats.angle,
+        level=feats.level, desc=feats.desc, valid=feats.valid,
+        u_right=sm.u_right, depth=sm.depth,
+    )
+
+
+def make_frames_stereo_batch(
+    config: SlamConfig, images_l: jnp.ndarray, images_r: jnp.ndarray
+) -> FrameData:
+    """Stereo frames for a whole chunk: both eyes of every frame through ONE
+    extraction chain (2B-fold level batch), then a vmapped row-band SAD
+    matcher.  See make_frames_rgbd_batch."""
+    cam = config.camera
+    B, H, W = images_l.shape
+    both = jnp.stack([images_l, images_r], axis=1).reshape(2 * B, H, W)
+    feats, slabs = orb_extractor.extract_batch(both, config.orb)
+    feats_l = jax.tree.map(lambda x: x[0::2], feats)
+    feats_r = jax.tree.map(lambda x: x[1::2], feats)
+    slab_l, slab_r = slabs[0::2], slabs[1::2]
+    dims = level_shapes(H, W, config.orb.n_levels, config.orb.scale_factor)
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    sm = jax.vmap(
+        lambda xl, ll, dl, vl, xr, lr, dr, vr, sl, sr: stereo_ops.match_stereo(
+            xl, ll, dl, vl, xr, lr, dr, vr, sl, sr,
+            cam.bf, cam.baseline, scale_factors, level_dims=dims)
+    )(feats_l.xy, feats_l.level, feats_l.desc, feats_l.valid,
+      feats_r.xy, feats_r.level, feats_r.desc, feats_r.valid,
+      slab_l, slab_r)
+    xy_und = (jax.vmap(lambda xy: undistort_points(cam, xy))(feats_l.xy)
+              if cam.has_distortion else feats_l.xy)
+    return FrameData(
+        xy=xy_und, xy_raw=feats_l.xy, response=feats_l.response,
+        angle=feats_l.angle, level=feats_l.level, desc=feats_l.desc,
+        valid=feats_l.valid, u_right=sm.u_right, depth=sm.depth,
+    )
+
+
 def make_frame_mono(config: SlamConfig, image: jnp.ndarray) -> FrameData:
     feats = orb_extractor.extract(image, config.orb)
     cam = config.camera

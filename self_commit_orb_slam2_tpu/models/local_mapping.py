@@ -323,7 +323,7 @@ def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     """
     from ..ops.camera import project
     from ..ops.matching import core as mcore
-    from ..ops.triangulate import projection_matrix, triangulate_linear
+    from ..ops.triangulate import projection_matrix, triangulate_linear_fast
 
     cam = config.camera
     # nn = 10 stereo/RGB-D, 20 mono (reference LocalMapping.cc:316-318)
@@ -390,7 +390,7 @@ def create_new_points(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     P1 = projection_matrix(K33, Tcw1)
     P2 = projection_matrix(K33, m.kf_Tcw[nb_kf])           # [N, 3, 4]
     uv2 = m.kf_xy[nb_kf, nb_feat]
-    pts = triangulate_linear(xy1, uv2, P1, P2)
+    pts = triangulate_linear_fast(xy1, uv2, P1, P2)
 
     # gates (reference :430-560)
     R1, t1 = Tcw1[:3, :3], Tcw1[:3, 3]

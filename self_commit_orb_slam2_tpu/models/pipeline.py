@@ -304,6 +304,13 @@ def batch_steps_rgbd(config: SlamConfig, m: MapState, carry: TrackCarry,
     padded (invalid) frames pass the carry through untouched, which lets the
     host stream fixed-size chunks (one compiled program) over the transfer
     pipeline and pad only the final chunk.  Returns stacked StepInfo [B, ...].
+
+    NOTE: this single-graph variant constructs each frame inside the scan
+    body.  The faster path — batched frame construction for the whole chunk,
+    then a tracking-only scan — must run as TWO jit calls (frames_*_packed +
+    batch_steps_frames, as System wires them): fusing construction and scan
+    into one graph miscompiles on the axon TPU backend (the scan's xs get
+    rematerialized per-iteration with different numerics; verified round 4).
     """
 
     def body(state, inputs):
@@ -401,6 +408,7 @@ def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
                        images_l: jnp.ndarray, images_r: jnp.ndarray,
                        timestamps: jnp.ndarray, valid: jnp.ndarray,
                        localization_only: bool = False, run_mapping: bool = True):
+    """Single-graph stereo batch (see batch_steps_rgbd's NOTE)."""
     def body(state, inputs):
         m, carry = state
         il, ir, ts, ok = inputs
@@ -417,6 +425,78 @@ def batch_steps_stereo(config: SlamConfig, m: MapState, carry: TrackCarry,
 
     (m, carry), infos = jax.lax.scan(
         body, (m, carry), (images_l, images_r, timestamps, valid))
+    return m, carry, pack_infos(infos)
+
+
+# --- two-dispatch chunk pipeline: batched frame phase + tracking scan -------
+# Frame construction has no frame-to-frame dependency, so the streaming path
+# builds ALL frames of a chunk through one batched kernel chain
+# (ops/orb/extractor.extract_batch) and scans only the tracking steps.  The
+# two stages MUST be separate jit calls on the axon TPU backend (see
+# batch_steps_rgbd's NOTE); System dispatches frames_*_packed then
+# batch_steps_frames back-to-back (both async, so the split costs no wall
+# time — and the frame phase of chunk k+1 can overlap the scan of chunk k).
+
+def frames_rgbd_packed(config: SlamConfig, buf: jnp.ndarray):
+    """Packed uint8 chunk buffer -> (FrameData [B,...], ts [B], valid [B]).
+
+    Layout per frame (matches pack_rgbd_chunk):
+    [H*W image u8][H*W*2 depth u16 LE][4 ts f32][4 valid u8]."""
+    cam = config.camera
+    H, W = int(cam.height), int(cam.width)
+    B = buf.shape[0]
+    images = buf[:, : H * W].reshape(B, H, W)
+    depths = jax.lax.bitcast_convert_type(
+        buf[:, H * W : 3 * H * W].reshape(B, H, W, 2), jnp.uint16
+    )
+    ts = jax.lax.bitcast_convert_type(
+        buf[:, 3 * H * W : 3 * H * W + 4], jnp.float32
+    )
+    valid = buf[:, 3 * H * W + 4] > 0
+    frames = frame_mod.make_frames_rgbd_batch(
+        config, images.astype(jnp.float32),
+        depths.astype(jnp.float32) * jnp.float32(1e-3))
+    return frames, ts, valid
+
+
+def frames_stereo_packed(config: SlamConfig, buf: jnp.ndarray):
+    """Stereo variant of frames_rgbd_packed (layout of pack_stereo_chunk)."""
+    cam = config.camera
+    H, W = int(cam.height), int(cam.width)
+    B = buf.shape[0]
+    il = buf[:, : H * W].reshape(B, H, W)
+    ir = buf[:, H * W : 2 * H * W].reshape(B, H, W)
+    ts = jax.lax.bitcast_convert_type(
+        buf[:, 2 * H * W : 2 * H * W + 4], jnp.float32
+    )
+    valid = buf[:, 2 * H * W + 4] > 0
+    frames = frame_mod.make_frames_stereo_batch(
+        config, il.astype(jnp.float32), ir.astype(jnp.float32))
+    return frames, ts, valid
+
+
+def batch_steps_frames(config: SlamConfig, m: MapState, carry: TrackCarry,
+                       frames: FrameData, timestamps: jnp.ndarray,
+                       valid: jnp.ndarray,
+                       localization_only: bool = False,
+                       run_mapping: bool = True):
+    """Tracking-only scan over pre-constructed frames (leading dim B)."""
+    def body(state, inputs):
+        m, carry = state
+        frame, ts, ok = inputs
+
+        def live(m, carry):
+            return track_step(config, m, carry, frame, ts,
+                              localization_only, run_mapping)
+
+        def skip(m, carry):
+            return m, carry, _skip_info(m, carry)
+
+        m, carry, info = jax.lax.cond(ok, live, skip, m, carry)
+        return (m, carry), info
+
+    (m, carry), infos = jax.lax.scan(
+        body, (m, carry), (frames, timestamps, valid))
     return m, carry, pack_infos(infos)
 
 

@@ -80,18 +80,33 @@ class System:
                                   run_mapping=enable_mapping),
                 donate_argnums=(0, 1),
             )
+        # Chunk streaming = TWO async dispatches: a batched frame phase
+        # (whole chunk through one extraction chain) + a tracking-only scan.
+        # They must stay separate jits — one fused graph miscompiles the
+        # scan's rematerialized xs on the axon TPU backend (round-4 note in
+        # pipeline.batch_steps_rgbd).
+        self._frame_fns = {
+            "rgbd": jax.jit(functools.partial(pipeline.frames_rgbd_packed, cfg)),
+            "stereo": jax.jit(functools.partial(pipeline.frames_stereo_packed, cfg)),
+        }
+        self._scan_fns = {}
         self._batches = {}
         for loc in (False, True):
-            self._batches[("rgbd", loc)] = jax.jit(
-                functools.partial(pipeline.batch_steps_rgbd_packed, cfg,
-                                  localization_only=loc, run_mapping=enable_mapping),
-                donate_argnums=(0, 1),
-            )
-            self._batches[("stereo", loc)] = jax.jit(
-                functools.partial(pipeline.batch_steps_stereo_packed, cfg,
-                                  localization_only=loc, run_mapping=enable_mapping),
-                donate_argnums=(0, 1),
-            )
+            for sensor in ("rgbd", "stereo"):
+                scan = jax.jit(
+                    functools.partial(pipeline.batch_steps_frames, cfg,
+                                      localization_only=loc,
+                                      run_mapping=enable_mapping),
+                    donate_argnums=(0, 1, 2),
+                )
+                self._scan_fns[(sensor, loc)] = scan
+                frame_fn = self._frame_fns[sensor]
+
+                def batch(m, carry, buf, frame_fn=frame_fn, scan=scan):
+                    frames, ts, valid = frame_fn(buf)
+                    return scan(m, carry, frames, ts, valid)
+
+                self._batches[(sensor, loc)] = batch
         self._init_rgbd = jax.jit(
             functools.partial(pipeline.init_rgbd, cfg), donate_argnums=0
         )

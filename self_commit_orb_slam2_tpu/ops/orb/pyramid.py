@@ -129,3 +129,14 @@ def stack_slab(levels: list[jnp.ndarray]) -> jnp.ndarray:
         if l.shape != (H0, W0) else l
         for l in levels
     ])
+
+
+def stack_slab_batch(levels: list[jnp.ndarray]) -> jnp.ndarray:
+    """Batched stack_slab: list of [B, h, w] levels -> [B, L, H0, W0]."""
+    H0, W0 = levels[0].shape[-2:]
+    return jnp.stack([
+        jnp.pad(l, ((0, 0), (0, H0 - l.shape[-2]), (0, W0 - l.shape[-1])),
+                mode="edge")
+        if l.shape[-2:] != (H0, W0) else l
+        for l in levels
+    ], axis=1)

@@ -51,6 +51,51 @@ def triangulate_linear(
     return x[..., :3] / w[..., None]
 
 
+def triangulate_linear_fast(
+    uv1: jnp.ndarray, uv2: jnp.ndarray, P1: jnp.ndarray, P2: jnp.ndarray
+) -> jnp.ndarray:
+    """Inhomogeneous DLT: fix w=1 and solve the 4x3 system by closed-form
+    3x3 normal equations (adjugate / determinant).
+
+    The hot-path alternative to triangulate_linear: batched 4x4 eigh lowers
+    to an iterative Jacobi sweep on TPU (~3ms per mapping phase at 1024
+    candidates); this is ~200 flops of pure VPU math per point.  The w=1
+    normalization differs from the SVD null vector only for points near
+    infinity, which the parallax/depth gates reject anyway (reference gates
+    LocalMapping.cc:430-560)."""
+    rows = jnp.stack(
+        [
+            uv1[..., 0, None] * P1[..., 2, :] - P1[..., 0, :],
+            uv1[..., 1, None] * P1[..., 2, :] - P1[..., 1, :],
+            uv2[..., 0, None] * P2[..., 2, :] - P2[..., 0, :],
+            uv2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :],
+        ],
+        axis=-2,
+    )  # [..., 4, 4]
+    A = rows[..., :3]                                   # [..., 4, 3]
+    b = -rows[..., 3]                                   # [..., 4]
+    N = jnp.einsum("...ki,...kj->...ij", A, A)          # [..., 3, 3]
+    rhs = jnp.einsum("...ki,...k->...i", A, b)          # [..., 3]
+    # closed-form 3x3 solve via adjugate
+    c00 = N[..., 1, 1] * N[..., 2, 2] - N[..., 1, 2] * N[..., 2, 1]
+    c01 = N[..., 0, 2] * N[..., 2, 1] - N[..., 0, 1] * N[..., 2, 2]
+    c02 = N[..., 0, 1] * N[..., 1, 2] - N[..., 0, 2] * N[..., 1, 1]
+    c10 = N[..., 1, 2] * N[..., 2, 0] - N[..., 1, 0] * N[..., 2, 2]
+    c11 = N[..., 0, 0] * N[..., 2, 2] - N[..., 0, 2] * N[..., 2, 0]
+    c12 = N[..., 0, 2] * N[..., 1, 0] - N[..., 0, 0] * N[..., 1, 2]
+    c20 = N[..., 1, 0] * N[..., 2, 1] - N[..., 1, 1] * N[..., 2, 0]
+    c21 = N[..., 0, 1] * N[..., 2, 0] - N[..., 0, 0] * N[..., 2, 1]
+    c22 = N[..., 0, 0] * N[..., 1, 1] - N[..., 0, 1] * N[..., 1, 0]
+    det = (N[..., 0, 0] * c00 + N[..., 1, 0] * c01 + N[..., 2, 0] * c02)
+    inv_det = jnp.where(jnp.abs(det) > 1e-20, 1.0 / det, 0.0)
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c10, c11, c12], -1),
+        jnp.stack([c20, c21, c22], -1),
+    ], -2)
+    return jnp.einsum("...ij,...j->...i", adj, rhs) * inv_det[..., None]
+
+
 def triangulation_gates(
     cam: CameraParams,
     pts_w: jnp.ndarray,
