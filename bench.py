@@ -42,27 +42,31 @@ def main():
                         if a.startswith("--dataset=")), None)
     if dataset_dir:
         return bench_dataset(dataset_dir, n_frames)
-    # --size=ref: the reference's own scale (TUM 640x480, 1000 features)
+    # DEFAULT = the reference-comparable configuration: the reference's own
+    # operating point (TUM 640x480, 1000 features, reference
+    # Examples/RGB-D/TUM1.yaml) with the vocabulary LOADED (the reference
+    # always loads ORBvoc.txt and runs a live loop thread, System.cc:77-89).
+    # --size=toy: the small 320x240/500f scene (round-1..3 headline config)
     # --size=kitti: KITTI stereo geometry (1241x376, 2000 features; the
     #   reference's bar there is 10 fps, Examples/Stereo/KITTI00-02.yaml:22)
-    ref_scale = "--size=ref" in sys.argv
+    toy_scale = "--size=toy" in sys.argv
     kitti_scale = "--size=kitti" in sys.argv
     bar_fps = 30.0
     if kitti_scale:
         width, height, fx, n_feat = 1241, 376, 718.9, 2000
         bar_fps = 10.0
-    elif ref_scale:
-        width, height, fx, n_feat = 640, 480, 520.0, 1000
-    else:
+    elif toy_scale:
         width, height, fx, n_feat = 320, 240, 260.0, 500
+    else:
+        width, height, fx, n_feat = 640, 480, 520.0, 1000
     # --sensor=stereo benches the stereo pipeline (row-band matching instead
     # of RGB-D depth lookup); default rgbd matches the TUM configuration
     sensor = "stereo" if ("--sensor=stereo" in sys.argv or kitti_scale) \
         else "rgbd"
-    # --with-vocab: run with the shipped vocabulary loaded (loop closing +
-    # relocalization live, like the reference which always loads ORBvoc.txt)
+    # --no-vocab: drop place recognition (loop closing + reloc) to measure
+    # the bare tracking pipeline
     vocab = None
-    if "--with-vocab" in sys.argv:
+    if "--no-vocab" not in sys.argv:
         from self_commit_orb_slam2_tpu.ops.bow import load_vocabulary
         from self_commit_orb_slam2_tpu.run_slam import _default_vocab_path
 
@@ -82,6 +86,7 @@ def main():
         vocab=vocab,
     )
     slam = System(cfg)
+    slam.warm_start()  # pre-compile loop closing (reference: ORBvoc load)
     second = seq.right_images if sensor == "stereo" else seq.depths
     track_batch = (slam.track_batch_stereo if sensor == "stereo"
                    else slam.track_batch_rgbd)
@@ -90,9 +95,11 @@ def main():
     # program), the rest are timed repetitions.  The HEADLINE number is the
     # MEDIAN of the steady-state windows (all but the first timed window,
     # which still carries transfer-pipeline warm-up); the max and ALL
-    # samples stay in `extra` for scrutiny.
+    # samples stay in `extra` for scrutiny.  Window length is a multiple of
+    # the streaming chunk so no window pays padded (wasted) frames.
     n_windows = 6
-    B = (n_frames - 1) // n_windows
+    C = slam._batch_chunk
+    B = max(C, (n_frames - 1) // n_windows // C * C)
     track_batch(seq.images[: 1 + B], second[: 1 + B],
                 seq.timestamps[: 1 + B])  # init frame + B
     samples = []
@@ -112,13 +119,16 @@ def main():
     phases = phase_breakdown(cfg, slam, seq, sensor)
     dev_fps = device_fps(slam, seq, second, sensor)
 
+    vtag = "" if vocab is None else "_vocab"
     print(json.dumps({
-        "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat",
+        "metric": f"{sensor}_tracking_fps_{width}x{height}_{n_feat}feat{vtag}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / bar_fps, 3),
         "extra": {
             "ate_rmse_m": round(float(ate), 4),
+            "vocab_loaded": vocab is not None,
+            "device_vs_bar": round(dev_fps / bar_fps, 2),
             "n_frames": n_frames,
             "keyframes": n_kf,
             "map_points": n_pt,
@@ -224,10 +234,35 @@ def phase_breakdown(cfg, slam, seq, sensor):
 
     from self_commit_orb_slam2_tpu.models import local_mapping, map_state as ms
 
+    # batched frame phase, per frame (what the streaming pipeline actually
+    # pays: the whole chunk through one extraction chain)
+    C = slam._batch_chunk
+    if sensor == "stereo":
+        a = np.clip(seq.images[1:1 + C], 0, 255).astype(np.uint8)
+        b = np.clip(seq.right_images[1:1 + C], 0, 255).astype(np.uint8)
+        buf = jnp.asarray(pipeline.pack_stereo_chunk(
+            a, b, np.asarray(seq.timestamps[1:1 + C], np.float32),
+            np.ones(C, bool)))
+    else:
+        a = np.clip(seq.images[1:1 + C], 0, 255).astype(np.uint8)
+        b = np.clip(seq.depths[1:1 + C] * 1e3, 0, 65535).astype(np.uint16)
+        buf = jnp.asarray(pipeline.pack_rgbd_chunk(
+            a, b, np.asarray(seq.timestamps[1:1 + C], np.float32),
+            np.ones(C, bool)))
+    ffn = slam._frame_fns[sensor]
+    jax.block_until_ready(ffn(buf))
+    t0 = _t.perf_counter()
+    for _ in range(10):
+        out_f = ffn(buf)
+    jax.block_until_ready(out_f)
+    frame_ms = (_t.perf_counter() - t0) / 10 / C * 1e3
+
     kf_id = ms.latest_kf(m)
     out = {
-        # ORB extraction + stereo/RGB-D depth association
-        "frame": scan_time(mk),
+        # ORB extraction + stereo/RGB-D depth association, chunk-batched
+        "frame": round(frame_ms, 3),
+        # single-frame construction (the per-frame API's cost)
+        "frame_single": scan_time(mk),
         # full per-frame tracking path, mapping branch not taken
         "track": scan_time(lambda: step(cfg, m, carry, img, second, ts,
                                         run_mapping=False)[2]),

@@ -523,6 +523,8 @@ class LoopCloser:
         # (reference mvConsistentGroups chains BEFORE the Sim3 gate,
         # LoopClosing.cc:229-305)
         self._consistent_groups: list = []
+        # detections dispatched but not yet resolved (see dispatch_group)
+        self._pending_dets: list = []
         self._key = jax.random.PRNGKey(7)
         # vmapped multi-keyframe detection batch width: keyframes created in
         # one batched chunk-group detect in ONE device call + ONE fetch (on
@@ -542,17 +544,46 @@ class LoopCloser:
                 functools.partial(correct_loop, config), donate_argnums=0
             )
 
+    def warmup(self, m: MapState) -> None:
+        """Pre-compile the streaming detection + correction programs against
+        a map of matching shapes, so the first real loop detection does not
+        stall the chunk stream for the compile time (the analogue of the
+        reference's seconds-long ORBvoc load at startup, System.cc:77-89).
+        Runs one detect/correct on a throwaway copy; results are discarded."""
+        if not self.enabled:
+            return
+        import numpy as np
+
+        key = jax.random.PRNGKey(0)
+        subs = jax.random.split(key, self.MAX_DETECT)
+        slots = jnp.zeros(self.MAX_DETECT, jnp.int32)
+        dets = self._jit_detect_many(m, slots, subs)
+        det0 = jax.tree.map(lambda x: x[0], dets)
+        scratch = jax.tree.map(jnp.copy, m)
+        out = self._jit_correct(scratch, jnp.int32(0), det0)
+        jax.block_until_ready(out.kf_Tcw)
+
     def process(self, m: MapState, kf_id) -> MapState:
         return self.process_group(m, [int(kf_id)])
 
     def process_group(self, m: MapState, slots: list) -> MapState:
-        """Loop detection for a group of just-created keyframes: ONE vmapped
-        detection call + ONE host fetch for the whole group (the reference's
-        LoopClosing thread pops its queue one KF at a time,
-        LoopClosing.cc:114-130; the semantics per KF are identical, the
-        batching only removes per-KF device round trips)."""
+        """Synchronous variant: dispatch + blocking resolve (used by the
+        per-frame API, refine_maps, and tests; the streaming path calls
+        dispatch_group / resolve separately so detection never stalls the
+        chunk stream — reference analogue: the LoopClosing THREAD costs
+        Tracking nothing, src/LoopClosing.cc:71-130)."""
+        self.dispatch_group(m, slots)
+        m, _ = self.resolve(m, block=True)
+        return m
+
+    def dispatch_group(self, m: MapState, slots: list,
+                       rebase=None) -> None:
+        """Dispatch loop detection for a group of just-created keyframes:
+        ONE vmapped detection call per MAX_DETECT part, with the small
+        host-side decision arrays copied back ASYNCHRONOUSLY.  Nothing
+        blocks; results are consumed later by resolve()."""
         if not self.enabled or not slots:
-            return m
+            return
         import numpy as np
 
         live = []
@@ -560,22 +591,45 @@ class LoopCloser:
             self._kf_counter += 1
             if self._kf_counter - self.last_loop_kf >= COOLDOWN:
                 live.append((self._kf_counter, int(s)))
-        if not live:
-            return m
-        th = self.config.tracking.loop_consistency_th
         for start in range(0, len(live), self.MAX_DETECT):
             part = live[start : start + self.MAX_DETECT]
-            D = len(part)  # width = group size (per-frame mode stays at 1,
-            #                keeping the PRNG stream identical to the
-            #                sequential formulation)
-            slots_arr = np.asarray([s for _, s in part], np.int32)
+            # pad multi-KF parts to ONE static width so the streaming path
+            # compiles a single detect signature (a mid-stream compile
+            # stalls the pipeline for seconds); per-frame mode keeps the
+            # width-1 signature and its PRNG stream
+            D = self.MAX_DETECT if len(live) > 1 else 1
+            slots_arr = np.zeros(D, np.int32)
+            slots_arr[: len(part)] = [s for _, s in part]
             self._key, *subs = jax.random.split(self._key, D + 1)
             dets = self._jit_detect_many(m, jnp.asarray(slots_arr),
                                          jnp.stack(subs))
-            # ONE fetch for everything the host logic needs
-            found_a, best_a, groups_a, gok_a, cand_a = jax.device_get(
-                (dets.found, dets.best_c, dets.groups, dets.group_ok,
-                 dets.cand_kf))
+            small = (dets.found, dets.best_c, dets.groups, dets.group_ok,
+                     dets.cand_kf)
+            for x in small:
+                x.copy_to_host_async()
+            self._pending_dets.append((part, dets, small, rebase))
+
+    def pending(self) -> int:
+        return len(self._pending_dets)
+
+    def resolve(self, m: MapState, block: bool = False):
+        """Consume finished detections (all of them when block=True): run
+        covisibility-consistency chaining on host and fire corrections.
+        Returns (map, fired) where fired lists the `rebase` payloads of the
+        dispatch groups whose correction fired (for carry re-basing)."""
+        import numpy as np
+
+        fired = []
+        if not self.enabled:
+            return m, fired
+        th = self.config.tracking.loop_consistency_th
+        while self._pending_dets:
+            part, dets, small, rebase = self._pending_dets[0]
+            if not block and not all(x.is_ready() for x in small):
+                break
+            self._pending_dets.pop(0)
+            found_a, best_a, groups_a, gok_a, cand_a = (
+                np.asarray(x) for x in small)
             for i, (counter, s) in enumerate(part):
                 if counter - self.last_loop_kf < COOLDOWN:
                     continue  # an earlier keyframe in this group just fired
@@ -601,4 +655,5 @@ class LoopCloser:
                     self.last_loop_kf = counter
                     self.n_big_changes += 1
                     self._consistent_groups = []
-        return m
+                    fired.append(rebase)
+        return m, fired

@@ -97,7 +97,7 @@ class System:
                     functools.partial(pipeline.batch_steps_frames, cfg,
                                       localization_only=loc,
                                       run_mapping=enable_mapping),
-                    donate_argnums=(0, 1, 2),
+                    donate_argnums=(0, 1),
                 )
                 self._scan_fns[(sensor, loc)] = scan
                 frame_fn = self._frame_fns[sensor]
@@ -136,6 +136,14 @@ class System:
             from .loop_closing import LoopCloser
 
             self._loop_closer = LoopCloser(cfg)
+
+    def warm_start(self) -> None:
+        """Pre-compile the loop-closing programs (detection + correction) so
+        the first real detection never stalls the live stream — the runtime
+        analogue of the reference's seconds-long ORBvoc load at startup
+        (src/System.cc:77-89).  Optional; everything also compiles lazily."""
+        if self._loop_closer is not None and self._loop_closer.enabled:
+            self._loop_closer.warmup(self.map)
 
     # ------------------------------------------------------------- public API
 
@@ -264,6 +272,41 @@ class System:
             valid[:n_live] = True
             return jnp.asarray(pack(*(sl(a) for a in arrays), sl(ts), valid))
 
+        # In-flight StepInfo fetches: each chunk-group's packed infos (plus a
+        # kf_seq/kf_valid snapshot for slot re-resolution) start an ASYNC
+        # device-to-host copy at dispatch and are consumed once is_ready()
+        # — the stream never blocks on a mid-run fetch (round-3 weakness:
+        # the stride fetch drained the transfer pipeline, one measured
+        # window collapsed to 1 fps).  Backlog is bounded at MAX_INFLIGHT
+        # groups, after which the oldest is consumed blocking.
+        inflight: list[tuple] = []
+        MAX_INFLIGHT = 3
+
+        def enqueue_infos(cat):
+            # device-copy the tiny slot tables: the live map's buffers get
+            # DONATED to the next chunk's scan, which would delete the
+            # snapshot out from under the async fetch
+            snap = (jnp.copy(self.map.kf_seq), jnp.copy(self.map.kf_valid))
+            for x in (cat, *snap):
+                x.copy_to_host_async()
+            inflight.append((cat, snap))
+
+        def drain_infos(force=False):
+            while inflight:
+                cat, snap = inflight[0]
+                ready = cat.is_ready() and all(x.is_ready() for x in snap)
+                if not ready and not (force or len(inflight) > MAX_INFLIGHT):
+                    break
+                inflight.pop(0)
+                packed_parts.append(self._consume_chunk_infos(cat, snap))
+            # fold in any loop detections that finished
+            if self._loop_closer is not None and self._loop_closer.pending():
+                self.map, fired = self._loop_closer.resolve(self.map,
+                                                            block=force)
+                for rb in fired:
+                    if rb is not None:
+                        self._apply_correction_to_carry(*rb)
+
         for i, k in enumerate(ks):
             if k not in device_bufs:
                 # upload the next S chunks in one burst BEFORE dispatching
@@ -281,15 +324,17 @@ class System:
                 if len(pending) >= stride:
                     cat = (pending[0] if len(pending) == 1
                            else jnp.concatenate(pending, axis=0))
-                    packed_parts.append(self._consume_chunk_infos(cat))
+                    enqueue_infos(cat)
                     pending = []
+                drain_infos()
             else:
                 packed_parts.append(packed)
         if per_chunk_loops:
             if pending:
                 cat = (pending[0] if len(pending) == 1
                        else jnp.concatenate(pending, axis=0))
-                packed_parts.append(self._consume_chunk_infos(cat))
+                enqueue_infos(cat)
+            drain_infos(force=True)
             packed_all = np.concatenate(packed_parts, axis=0)
         else:
             packed_all = np.asarray(
@@ -312,18 +357,22 @@ class System:
         self.timings.extend([dt] * B)
         return poses
 
-    def _consume_chunk_infos(self, packed) -> np.ndarray:
-        """Fetch one chunk's packed StepInfo and run loop detection for every
-        keyframe created in it.  Keyframes are identified by SEQ number —
-        with free-list slot reuse a slot can be culled and reassigned between
-        creation and processing, so the slot is re-resolved against the
-        current map and seqs no longer live are skipped."""
+    def _consume_chunk_infos(self, packed, snapshot=None) -> np.ndarray:
+        """Consume one chunk-group's packed StepInfo (already host-copied
+        when called from the streaming path) and DISPATCH loop detection for
+        every keyframe created in it — corrections land asynchronously via
+        LoopCloser.resolve.  Keyframes are identified by SEQ number — with
+        free-list slot reuse a slot can be culled and reassigned between
+        creation and processing, so the slot is re-resolved against the map
+        snapshot taken at enqueue time and seqs no longer live are skipped."""
         arr = np.asarray(packed)
         infos = pipeline.unpack_infos(arr)
         created = np.nonzero(infos.created_kf)[0]
         if len(created):
-            kf_seq, kf_valid = jax.device_get(
-                (self.map.kf_seq, self.map.kf_valid))
+            kf_seq, kf_valid = (
+                (np.asarray(snapshot[0]), np.asarray(snapshot[1]))
+                if snapshot is not None
+                else jax.device_get((self.map.kf_seq, self.map.kf_valid)))
             slots, b_last = [], None
             for b in created:
                 seq = int(infos.ref_kf_seq[b])
@@ -337,14 +386,12 @@ class System:
                 slots.append(slot)
                 b_last = b
             if slots:
-                before = self._loop_closer.n_big_changes
-                self.map = self._loop_closer.process_group(self.map, slots)
-                if self._loop_closer.n_big_changes != before:
-                    # re-base the carry by the newest keyframe's pose delta
-                    # (the chain-end correction is what the live tracking
-                    # state must follow)
-                    self._apply_correction_to_carry(
-                        slots[-1], infos.ref_kf_Tcw[b_last])
+                # re-base payload: the newest keyframe's pose delta (the
+                # chain-end correction is what the live tracking state must
+                # follow) — applied by the caller when the correction fires
+                self._loop_closer.dispatch_group(
+                    self.map, slots,
+                    rebase=(slots[-1], infos.ref_kf_Tcw[b_last]))
         return arr
 
     def _apply_correction_to_carry(self, kf_slot: int,

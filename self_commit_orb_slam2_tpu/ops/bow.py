@@ -44,6 +44,11 @@ class Vocabulary(NamedTuple):
     L: int
     n_words: int
     levelsup: int = 2  # node level used for matching constraints (from leaf)
+    # [n_nodes, k, 8] uint32: node i's CHILDREN's descriptors, contiguous.
+    # The tree descent then gathers ONE k*8-lane row per query per level
+    # instead of k separate 8-lane rows (random 8-element gathers are the
+    # slowest primitive on TPU); built once by _with_child_desc.
+    child_desc: jnp.ndarray | None = None
 
 
 _POP_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
@@ -166,7 +171,17 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, L: int = 4,
         counts = np.bincount(words[words >= 0], minlength=n_words).astype(np.float64)
         n_docs = max(len(wd), 1)
     idf = np.log(n_docs / np.maximum(counts, 1.0)).astype(np.float32)
-    return vocab._replace(word_weight=jnp.asarray(np.maximum(idf, 1e-3)))
+    return _with_child_desc(
+        vocab._replace(word_weight=jnp.asarray(np.maximum(idf, 1e-3))))
+
+
+def _with_child_desc(vocab: Vocabulary) -> Vocabulary:
+    """Precompute the contiguous [n_nodes, k, 8] child-descriptor table
+    (host-side numpy, once per load/train)."""
+    ch = np.asarray(vocab.node_children)
+    nd = np.asarray(vocab.node_desc)
+    cd = nd[np.clip(ch, 0, len(nd) - 1)]          # [n_nodes, k, 8]
+    return vocab._replace(child_desc=jnp.asarray(cd))
 
 
 def transform(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
@@ -178,18 +193,24 @@ def transform(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
     Returns -1 for invalid descriptors.
     """
     n = desc.shape[0]
+    k = vocab.node_children.shape[1]
     cur = jnp.zeros(n, jnp.int32)  # root
     mid = jnp.zeros(n, jnp.int32)
+    kiota = jnp.arange(k, dtype=jnp.int32)
     for level in range(vocab.L):
-        ch = vocab.node_children[cur]  # [N, k]
+        ch = vocab.node_children[cur]  # [N, k] (one row gather per query)
         has_child = ch >= 0
-        ch_safe = jnp.clip(ch, 0, vocab.node_desc.shape[0] - 1)
-        cdesc = vocab.node_desc[ch_safe]  # [N, k, 8]
+        if vocab.child_desc is not None:
+            cdesc = vocab.child_desc[cur]  # [N, k, 8]: ONE contiguous row
+        else:
+            ch_safe = jnp.clip(ch, 0, vocab.node_desc.shape[0] - 1)
+            cdesc = vocab.node_desc[ch_safe]  # [N, k, 8]: k scattered rows
         x = jnp.bitwise_xor(desc[:, None, :], cdesc)
         dist = jnp.sum(jax.lax.population_count(x), axis=-1)
         dist = jnp.where(has_child, dist, 100_000)
         best = jnp.argmin(dist, axis=1)
-        nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+        # one-hot reduce (a lane-axis take_along_axis scalarizes on TPU)
+        nxt = jnp.sum(jnp.where(kiota[None, :] == best[:, None], ch, 0), axis=1)
         # stop at nodes with no children (variable-depth branches)
         stopped = ~jnp.any(has_child, axis=1)
         cur = jnp.where(stopped, cur, nxt)
@@ -224,13 +245,13 @@ def save_vocabulary(path: str, vocab: Vocabulary) -> None:
 def load_vocabulary(path: str) -> Vocabulary:
     z = np.load(path)
     k, L, n_words, levelsup = (int(x) for x in z["meta"])
-    return Vocabulary(
+    return _with_child_desc(Vocabulary(
         node_desc=jnp.asarray(z["node_desc"]),
         node_children=jnp.asarray(z["node_children"]),
         word_id=jnp.asarray(z["word_id"]),
         word_weight=jnp.asarray(z["word_weight"]),
         k=k, L=L, n_words=n_words, levelsup=levelsup,
-    )
+    ))
 
 
 def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:

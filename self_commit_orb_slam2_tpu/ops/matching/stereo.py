@@ -99,18 +99,36 @@ def match_stereo(
 
     iota = jnp.arange(win, dtype=jnp.int32)
     big2d = jnp.concatenate([slab_l, slab_r]).reshape(2 * L * H0, W0)
+    # Column-blocked row gather (same pattern as ops/orb/sample.py): fetching
+    # full W0-wide rows moved N*2*11*W0 floats per frame (~224MB at KITTI
+    # width) and made the one-hot column selectors W0 wide; 96-px-strided
+    # 128-wide windows cut both ~10x for the same exact values.
+    STRIDE, BW = 96, 128  # BW >= STRIDE - 1 + wr so any window fits a block
+    assert BW - STRIDE + 1 >= wr
+    nbk = max(W0 - 1, 0) // STRIDE + 1
+    padded = jnp.pad(big2d, ((0, 0), (0, STRIDE * (nbk - 1) + BW - W0)))
+    blocks = jnp.stack(
+        [padded[:, b * STRIDE : b * STRIDE + BW] for b in range(nbk)], axis=1
+    ).reshape(-1, BW)
     rowidx = level_l[:, None] * H0 + y0[:, None] + iota[None, :]       # [N, 11]
-    rows2 = jnp.take(
-        big2d, jnp.concatenate([rowidx, rowidx + L * H0], 1).reshape(-1), axis=0
-    ).reshape(nl, 2, win, W0)
-    wiota = jnp.arange(W0, dtype=jnp.int32)
+    blk_l = xl0 // STRIDE
+    off_l = xl0 - blk_l * STRIDE
+    blk_r = xr0 // STRIDE
+    off_r = xr0 - blk_r * STRIDE
+    rows_l = jnp.take(
+        blocks, (rowidx * nbk + blk_l[:, None]).reshape(-1), axis=0
+    ).reshape(nl, win, BW)
+    rows_r = jnp.take(
+        blocks, ((rowidx + L * H0) * nbk + blk_r[:, None]).reshape(-1), axis=0
+    ).reshape(nl, win, BW)
+    wiota = jnp.arange(BW, dtype=jnp.int32)
     colsel_l = (wiota[None, :, None]
-                == (xl0[:, None, None] + iota[None, None, :])).astype(jnp.float32)
-    patch_l = jnp.einsum("npw,nwq->npq", rows2[:, 0], colsel_l)        # [N, 11, 11]
+                == (off_l[:, None, None] + iota[None, None, :])).astype(jnp.float32)
+    patch_l = jnp.einsum("npw,nwq->npq", rows_l, colsel_l)             # [N, 11, 11]
     iota_r = jnp.arange(wr, dtype=jnp.int32)
     colsel_r = (wiota[None, :, None]
-                == (xr0[:, None, None] + iota_r[None, None, :])).astype(jnp.float32)
-    strip_r = jnp.einsum("npw,nwq->npq", rows2[:, 1], colsel_r)        # [N, 11, 21]
+                == (off_r[:, None, None] + iota_r[None, None, :])).astype(jnp.float32)
+    strip_r = jnp.einsum("npw,nwq->npq", rows_r, colsel_r)             # [N, 11, 21]
 
     # center-normalize like the reference (IL - IL(center), :1255 region)
     patch_l = patch_l - patch_l[:, SAD_HALF, SAD_HALF][:, None, None]

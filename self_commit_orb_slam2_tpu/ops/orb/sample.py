@@ -34,7 +34,9 @@ import numpy as np
 from .brief_pattern import BIT_PATTERN_31
 from .orientation import _DX, _DY, HALF_PATCH
 
-PATCH = 56  # rotated pattern reach (<=22) + 3px blur halo + margins
+PATCH = 48  # rotated BRIEF reach (measured <=19) + 3px blur halo + margins:
+#             every tap row/col lies in [r-19-3, r+19+3] = [0, 44] of the
+#             48-patch at r = 22, so interior taps see the pure blur kernel
 
 _PATTERN_XY = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2).astype(np.float32)
 _BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
@@ -96,8 +98,8 @@ def orient_and_describe(
     # cut the gather and the selector to width BW (~7x less HBM traffic for
     # the same exact result).
     N = xy.shape[0]
-    STRIDE = 32
-    BW = STRIDE + ps  # taps stay in-block for any x0 offset in [0, STRIDE)
+    STRIDE = 128 - PATCH
+    BW = STRIDE + ps  # = 128: gather rows are exactly one TPU lane-width
     # every reachable block index blk = x0 // STRIDE with x0 <= W0 - ps must
     # have a window: nb = blk_max + 1 (widths ≡ 24 mod 32 used to compute one
     # block too few, wrapping right-edge patches into the next image row)
