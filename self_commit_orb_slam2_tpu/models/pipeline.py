@@ -42,6 +42,9 @@ class TrackCarry(NamedTuple):
     prev_inliers: jnp.ndarray   # scalar int32
     state_ok: jnp.ndarray       # scalar bool (False = lost)
     key: jnp.ndarray            # PRNG key for in-graph relocalization RANSAC
+    vo: jnp.ndarray             # scalar bool: localization-mode "map support
+                                # lost, tracking on VO points" (the reference's
+                                # mbVO flag, src/Tracking.cc:538-541,1425)
 
 
 class StepInfo(NamedTuple):
@@ -57,6 +60,7 @@ class StepInfo(NamedTuple):
     ref_kf_Tcw: jnp.ndarray   # its pose at track time (for T_cr bookkeeping)
     ref_kf_seq: jnp.ndarray   # its SEQ number (stable trajectory reference —
                               # slots are reused after culling)
+    vo: jnp.ndarray           # bool: localization-mode VO flag (mbVO)
 
 
 def init_carry(config: SlamConfig, frame: FrameData) -> TrackCarry:
@@ -71,6 +75,7 @@ def init_carry(config: SlamConfig, frame: FrameData) -> TrackCarry:
         prev_inliers=jnp.int32(0),
         state_ok=jnp.array(True),
         key=jax.random.PRNGKey(23),
+        vo=jnp.array(False),
     )
 
 
@@ -115,31 +120,76 @@ def track_step(
     # hypothesis fast path was tried in round 3 and REGRESSED ATE 0.02 ->
     # 0.06 on the look-at benchmark: the wide-window static hypothesis wins
     # often enough at steady state to be load-bearing for accuracy.)
-    res2 = jax.vmap(
-        lambda vel, rad: tracking.track_motion(
-            config, m, frame, carry.Tcw, vel, carry.last_frame,
-            carry.last_obs_pt, rad,
-        )
-    )(
-        jnp.stack([jnp.eye(4, dtype=jnp.float32), carry.velocity]),
-        jnp.asarray([cfg.motion_search_radius_wide, cfg.motion_search_radius],
-                    jnp.float32),
-    )
-    res_static = jax.tree.map(lambda x: x[0], res2)
-    res_vel = jax.tree.map(lambda x: x[1], res2)
-    take_static = res_static.n_inliers.astype(jnp.float32) >= 0.9 * res_vel.n_inliers.astype(jnp.float32)
-    res = jax.tree.map(
-        lambda a, b: jnp.where(take_static, a, b), res_static, res_vel
-    )
+    hyp_vel = jnp.stack([jnp.eye(4, dtype=jnp.float32), carry.velocity])
+    hyp_rad = jnp.asarray(
+        [cfg.motion_search_radius_wide, cfg.motion_search_radius], jnp.float32)
 
-    lres = tracking.track_local_map(config, m, frame, res.Tcw, res.obs_pt)
-    ok = lres.n_inliers >= cfg.min_inliers_local
+    def _select_hypothesis(res2):
+        res_static = jax.tree.map(lambda x: x[0], res2)
+        res_vel = jax.tree.map(lambda x: x[1], res2)
+        take_static = (res_static.n_inliers.astype(jnp.float32)
+                       >= 0.9 * res_vel.n_inliers.astype(jnp.float32))
+        return jax.tree.map(
+            lambda a, b: jnp.where(take_static, a, b), res_static, res_vel)
+
+    if localization_only:
+        # ---- Localization Mode (reference Tracking.cc:523-656): motion
+        # tracking is augmented with temporal "visual odometry" points from
+        # the last frame's depth (UpdateLastFrame, :1247-1350); carry.vo is
+        # the reference's mbVO "map support lost" flag; local-map tracking
+        # is skipped while map support is lost (:648-655), and
+        # relocalization runs alongside the VO motion model with its
+        # solution preferred (:568-624).
+        res = _select_hypothesis(jax.vmap(
+            lambda vel, rad: tracking.track_motion_loc(
+                config, m, frame, carry.Tcw, vel, carry.last_frame,
+                carry.last_obs_pt, rad,
+            )
+        )(hyp_vel, hyp_rad))
+        ok_mm = res.n_inliers > 20           # loc-mode MM return (:1427)
+        vo_now = res.n_map_inliers < 10      # mbVO update (:1425-1426)
+        run_lm = ok_mm & ~vo_now
+
+        def do_lm(m, frame):
+            return tracking.track_local_map(
+                config, m, frame, res.Tcw, res.obs_pt)
+
+        def echo_lm(m, frame):
+            # VO / failed-MM branch: no local map retrievable — echo the
+            # motion result in LocalMapResult shape (reference skips
+            # TrackLocalMap entirely when mbVO, Tracking.cc:648-655)
+            return tracking.LocalMapResult(
+                Tcw=res.Tcw, obs_pt=res.obs_pt, n_inliers=res.n_inliers,
+                local_kf_mask=jnp.zeros(m.max_kf, bool),
+                visible_pt=jnp.full(config.caps.local_points, NO_POINT,
+                                    jnp.int32),
+                found_pt_mask=res.obs_pt >= 0,
+                ref_kf=ms.latest_kf(m),
+                ref_shared=jnp.int32(0),
+                ref_total=jnp.int32(1),
+            )
+
+        lres = jax.lax.cond(run_lm, do_lm, echo_lm, m, frame)
+        ok = jnp.where(run_lm, lres.n_inliers >= cfg.min_inliers_local, ok_mm)
+        want_reloc = ~ok | carry.vo | ~carry.state_ok
+    else:
+        res = _select_hypothesis(jax.vmap(
+            lambda vel, rad: tracking.track_motion(
+                config, m, frame, carry.Tcw, vel, carry.last_frame,
+                carry.last_obs_pt, rad,
+            )
+        )(hyp_vel, hyp_rad))
+        vo_now = jnp.array(False)
+        lres = tracking.track_local_map(config, m, frame, res.Tcw, res.obs_pt)
+        ok = lres.n_inliers >= cfg.min_inliers_local
+        want_reloc = ~ok
 
     # ---- in-graph relocalization on the LOST branch (reference Tracking
     # falls back to Relocalization() whenever LOST, src/Tracking.cc:523-629,
     # :2030) — the batched/throughput mode recovers mid-scan instead of
     # dead-reckoning to the end of the batch.  lax.cond: the EPnP-RANSAC
-    # branch only executes on frames that actually lost tracking.
+    # branch only executes on frames that actually lost tracking (or, in
+    # localization mode, that run on VO support).
     key_next, sub = jax.random.split(carry.key)
     if config.vocab is not None:
         from . import relocalization
@@ -153,12 +203,12 @@ def track_step(
                     jnp.int32(0))
 
         r_ok, r_Tcw, r_obs, r_inl = jax.lax.cond(
-            ~ok, do_reloc, no_reloc, m, frame)
+            want_reloc, do_reloc, no_reloc, m, frame)
     else:
         r_ok = jnp.array(False)
         r_Tcw, r_obs, r_inl = lres.Tcw, lres.obs_pt, jnp.int32(0)
 
-    relocated = ~ok & r_ok
+    relocated = want_reloc & r_ok
     ok = ok | r_ok
     lres = lres._replace(
         Tcw=jnp.where(relocated, r_Tcw, lres.Tcw),
@@ -198,6 +248,8 @@ def track_step(
         prev_inliers=jnp.where(ok, lres.n_inliers, carry.prev_inliers),
         state_ok=ok,
         key=key_next,
+        # mbVO clears on relocalization success (reference Tracking.cc:623)
+        vo=jnp.where(relocated, False, vo_now),
     )
     ref_kf = ms.latest_kf(m)
     info = StepInfo(
@@ -210,12 +262,13 @@ def track_step(
         ref_kf=ref_kf,
         ref_kf_Tcw=m.kf_Tcw[ref_kf],
         ref_kf_seq=m.kf_seq[ref_kf],
+        vo=carry_out.vo,
     )
     return m, carry_out, info
 
 
 def pack_infos(infos: StepInfo) -> jnp.ndarray:
-    """Flatten a (stacked) StepInfo into ONE [B, 39] f32 array.
+    """Flatten a (stacked) StepInfo into ONE [B, 40] f32 array.
 
     A remote-attached TPU pays a full round trip per fetched BUFFER, not per
     byte; packing the per-frame summary into a single array makes the host
@@ -232,6 +285,7 @@ def pack_infos(infos: StepInfo) -> jnp.ndarray:
         to2d(infos.n_points),      # 36
         to2d(infos.ref_kf),        # 37
         to2d(infos.ref_kf_seq),    # 38
+        to2d(infos.vo),            # 39
     ], axis=1)
 
 
@@ -250,6 +304,7 @@ def unpack_infos(arr) -> StepInfo:
         ref_kf=arr[:, 37].astype(np.int32),
         ref_kf_Tcw=arr[:, 16:32].reshape(B, 4, 4),
         ref_kf_seq=arr[:, 38].astype(np.int32),
+        vo=arr[:, 39] > 0.5,
     )
 
 
@@ -289,6 +344,7 @@ def _skip_info(m: MapState, carry: TrackCarry) -> StepInfo:
         ref_kf=ref_kf,
         ref_kf_Tcw=m.kf_Tcw[ref_kf],
         ref_kf_seq=m.kf_seq[ref_kf],
+        vo=carry.vo,
     )
 
 

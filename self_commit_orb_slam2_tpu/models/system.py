@@ -46,6 +46,9 @@ class System:
         self.map = ms.empty_map(config)
         self.state = STATE_NOT_INITIALIZED
         self.localization_only = False
+        # Localization-mode "tracking on VO points, map support lost" flag
+        # (the reference's mbVO, src/Tracking.cc:538-541)
+        self.vo_mode = False
         self.enable_mapping = enable_mapping
 
         self.carry: Optional[pipeline.TrackCarry] = None
@@ -353,6 +356,7 @@ class System:
             )
         self.Tcw = jnp.asarray(poses[-1])
         self.state = STATE_OK if bool(state_ok[-1]) else STATE_LOST
+        self.vo_mode = bool(infos.vo[-1])
         dt = (time.perf_counter() - t0) / max(B, 1)
         self.timings.extend([dt] * B)
         return poses
@@ -555,6 +559,7 @@ class System:
             )
             self.Tcw = info.Tcw
             self.state = STATE_OK if bool(info.state_ok) else STATE_LOST
+            self.vo_mode = bool(info.vo)
             if self.state == STATE_LOST and self._jit_reloc is not None:
                 # Reference: Tracking falls back to Relocalization when LOST
                 # (src/Tracking.cc:523-629, :2030).

@@ -119,6 +119,104 @@ def track_motion(
     return TrackResult(res.Tcw, obs_out, n_matches, res.n_inliers)
 
 
+class TrackResultVO(NamedTuple):
+    """track_motion_loc result: TrackResult + the count of inliers bound to
+    REAL map points (the reference's nmatchesMap, src/Tracking.cc:1401-1426,
+    which drives the mbVO 'map support lost' flag)."""
+
+    Tcw: jnp.ndarray
+    obs_pt: jnp.ndarray
+    n_matches: jnp.ndarray
+    n_inliers: jnp.ndarray
+    n_map_inliers: jnp.ndarray
+
+
+def track_motion_loc(
+    config: SlamConfig,
+    m: MapState,
+    frame: FrameData,
+    Tcw_last: jnp.ndarray,
+    velocity: jnp.ndarray,
+    last_frame: FrameData,
+    last_obs_pt: jnp.ndarray,
+    search_radius: jnp.ndarray,
+) -> TrackResultVO:
+    """Localization-mode motion tracking with temporal "visual odometry"
+    points (reference Tracking::UpdateLastFrame src/Tracking.cc:1247-1350 +
+    TrackWithMotionModel :1353-1430).
+
+    The reference allocates temporary MapPoints from the last frame's close
+    stereo/RGB-D depth every frame (all with depth < mThDepth, plus the 100
+    closest) and deletes them after tracking (:670-716).  Here the same
+    candidates are frame-local arrays — backprojected positions and
+    descriptors of the LAST frame that never touch the map — so the
+    reference's per-frame temporal-point cleanup is a no-op by construction,
+    and pose optimization runs over the union of map matches and VO matches
+    in one fixed-shape pass."""
+    cam = config.camera
+    scale_factors = jnp.asarray(config.orb.scale_factors())
+    Tcw_pred = velocity @ Tcw_last
+
+    pt_ids = last_obs_pt
+    cl = jnp.clip(pt_ids, 0, m.max_pt - 1)
+    map_ok = (pt_ids >= 0) & m.pt_valid[cl]
+
+    # temporal VO candidates: depth-sorted close features of the LAST frame
+    # without a live map point (reference Tracking.cc:1301-1345: every
+    # depth < mThDepth point plus up to the 100 closest)
+    depth_ok = last_frame.has_depth() & ~map_ok
+    order = jnp.argsort(jnp.where(depth_ok, last_frame.depth, jnp.inf))
+    rank = jnp.zeros(last_frame.capacity, jnp.int32).at[order].set(
+        jnp.arange(last_frame.capacity, dtype=jnp.int32))
+    vo_ok = depth_ok & ((last_frame.depth < config.th_depth) | (rank < 100))
+    vo_pos = backproject_frame(cam, last_frame, Tcw_last)
+
+    pts_w = jnp.where(map_ok[:, None], m.pt_pos[cl], vo_pos)
+    desc_q = jnp.where(map_ok[:, None], m.pt_desc[cl], last_frame.desc)
+    q_ok = map_ok | vo_ok
+
+    pc = pts_w @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
+    uv, z = project(cam, pc)
+    inb = (
+        (z > 0)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    q_ok &= inb & last_frame.valid
+
+    radius = search_radius * scale_factors[last_frame.level]
+    wmask = mcore.window_mask(uv, frame.xy, radius)
+    lmask = mcore.level_mask(last_frame.level, frame.level, -1, 1)
+    match = mcore.mutual_best_match(
+        desc_q, frame.desc, wmask & lmask,
+        q_ok, frame.valid, max_dist=mcore.TH_HIGH, ratio=None,
+    )
+    keep = mcore.rotation_consistency_mask(last_frame.angle, frame.angle, match)
+    match = match._replace(valid=keep, idx=jnp.where(keep, match.idx, -1))
+
+    # scatter the SOURCE feature index so VO positions survive the
+    # query->feature inversion (a VO match has no map-point id to scatter)
+    src = _scatter_matches(
+        frame.capacity, match,
+        jnp.arange(last_frame.capacity, dtype=jnp.int32))
+    has = src >= 0
+    src_c = jnp.clip(src, 0, last_frame.capacity - 1)
+    pos_per = pts_w[src_c]
+    is_map = has & map_ok[src_c]
+    obs_pt_map = jnp.where(is_map, pt_ids[src_c], NO_POINT)
+    n_matches = jnp.sum(has).astype(jnp.int32)
+
+    sigma2 = jnp.asarray(config.orb.sigma2())
+    sel = has & frame.valid
+    res = pose_optimize(
+        cam, Tcw_pred, pos_per, _observations(frame), sigma2[frame.level],
+        sel, ur_weight=config.ur_weight,
+    )
+    obs_out = jnp.where(res.inliers & is_map, obs_pt_map, NO_POINT)
+    n_map_inl = jnp.sum(res.inliers & is_map).astype(jnp.int32)
+    return TrackResultVO(res.Tcw, obs_out, n_matches, res.n_inliers, n_map_inl)
+
+
 class LocalMapResult(NamedTuple):
     Tcw: jnp.ndarray
     obs_pt: jnp.ndarray
