@@ -35,6 +35,13 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_frames = int(args[0]) if args else 120
+    # --long[=N]: reference-length bounded-map run (default 4000 frames at
+    # the 640x480/1000f default config) — writes bench_long.json, which the
+    # default bench attaches as extra.long_run
+    long_arg = next((a for a in sys.argv[1:] if a.startswith("--long")), None)
+    if long_arg is not None:
+        n_long = int(long_arg.split("=", 1)[1]) if "=" in long_arg else 4000
+        return bench_long(n_long)
     # --dataset=DIR: bench on a real TUM RGB-D directory instead of the
     # synthetic scene — the moment real data is mountable, ATE-parity
     # numbers drop out of the same harness with zero new code.
@@ -145,7 +152,98 @@ def main():
             # frames (measured ~1 GB/s raw but ~6 ms/frame of stall when
             # uploads interleave with execution).
             "device_fps": dev_fps,
+            **_long_run_extra(),
         },
+    }))
+
+
+def _long_run_extra():
+    """Attach the most recent --long run's record (if any) to the artifact."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_long.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return {"long_run": json.load(f)}
+    return {}
+
+
+def bench_long(n_frames: int):
+    """Reference-length bounded-map run: n_frames (default 4000) at the
+    640x480/1000-feature default configuration WITH the vocabulary, cycling
+    one rendered look-at orbit so the camera re-traverses the same arc
+    (KITTI-00-style revisits; the reference's 4500-frame KITTI 00 stays
+    bounded through LocalMapping culling, src/LocalMapping.cc:261,873).
+    Records fps, ATE, live/culled keyframe counts, and map-boundedness."""
+    import jax
+
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.bow import load_vocabulary
+    from self_commit_orb_slam2_tpu.ops.camera import CameraParams
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.run_slam import _default_vocab_path
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+    from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
+
+    width, height, fx, n_feat = 640, 480, 520.0, 1000
+    cycle = 160  # one full look-at orbit (periodic across the wrap)
+    vocab = load_vocabulary(_default_vocab_path())
+    seq = generate_sequence(n_frames=cycle, width=width, height=height,
+                            fx=fx, seed=5)
+    cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
+                              bf=fx * 0.1, width=width, height=height)
+    cfg = SlamConfig(
+        camera=cam, orb=OrbConfig(n_features=n_feat),
+        caps=Capacities(max_keyframes=64, max_points=16384,
+                        local_points=1024),
+        tracking=TrackingConfig(max_frames_between_kf=10),
+        sensor="rgbd", vocab=vocab,
+    )
+    slam = System(cfg)
+    slam.warm_start()
+    C = slam._batch_chunk
+    done, t_timed, timed_frames = 0, 0.0, 0
+    idx0 = np.arange(C)
+    while done < n_frames:
+        idx = (done + idx0) % cycle
+        ts = (done + idx0) / 30.0
+        t0 = time.perf_counter()
+        slam.track_batch_rgbd(seq.images[idx], seq.depths[idx], ts)
+        dt = time.perf_counter() - t0
+        if done >= 2 * C:  # skip compile + pipeline warmup chunks
+            t_timed += dt
+            timed_frames += C
+        done += C
+    fps = timed_frames / max(t_timed, 1e-9)
+    _, est = slam.get_trajectory()
+    gt = seq.poses_gt[np.arange(len(est)) % cycle]
+    ate = float(ate_rmse(est, gt))
+    m = slam.map
+    live_kf = int(np.sum(np.asarray(m.kf_valid)))
+    record = {
+        "n_frames": int(done),
+        "fps": round(fps, 2),
+        "ate_rmse_m": round(ate, 4),
+        "keyframes_live": live_kf,
+        "keyframes_ever": int(np.asarray(m.n_kf)),
+        "keyframes_culled": int(np.asarray(m.n_culled)),
+        "map_points_live": slam.n_points(),
+        "map_bounded": live_kf <= cfg.caps.max_keyframes,
+        "tracking_lost": slam.state != 1,
+        "loop_closures": (slam._loop_closer.n_big_changes
+                          if slam._loop_closer else 0),
+        "backend": str(jax.devices()[0]),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_long.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({
+        "metric": f"rgbd_long_run_{width}x{height}_{n_feat}feat_vocab",
+        "value": record["fps"], "unit": "frames/s",
+        "vs_baseline": round(record["fps"] / 30.0, 3), "extra": record,
     }))
 
 

@@ -3,11 +3,15 @@
 
 Counterpart of DBoW2's offline vocabulary creation (the reference ships a
 pretrained ORBvoc.txt, k=10 L=6 ~1M leaves, trained on ~10k images — SURVEY
-§2.2).  The corpus is ORB descriptors extracted from synthetic value-noise
-textures (held-out seed — disjoint from every test/bench scene seed) under
-the same extractor the pipeline runs.  The default k=10 L=6 (the ORBvoc
-geometry) yields >=10^5 words, which the sparse (word id, weight) database scores at the same cost
-as a small vocabulary.
+§2.2).  The corpus is ORB descriptors extracted from the HELD-OUT texture
+families in utils/synthetic.py (voronoi / stripe-blob / warped-checker /
+halftone, with randomized gamma/contrast/brightness/vignette) — a corpus
+DISJOINT from the value-noise family every test and bench scene is built
+from, so passing the loop/reloc/retrieval tests with this vocabulary proves
+place recognition generalizes beyond its training distribution (the point
+of ORBvoc — DBoW2 TemplatedVocabulary.h:1338).  The default k=10 L=6 (the
+ORBvoc geometry) yields >=10^5 words, which the sparse (word id, weight)
+database scores at the same cost as a small vocabulary.
 
 Usage: python scripts/train_vocab.py [n_textures] [out.npz] [--small]
   --small: k=10 L=4 (~10k words) quick variant.
@@ -30,7 +34,9 @@ import numpy as np
 
 from self_commit_orb_slam2_tpu.ops.bow import save_vocabulary, train_vocabulary
 from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig, extract
-from self_commit_orb_slam2_tpu.utils.synthetic import value_noise_texture
+from self_commit_orb_slam2_tpu.utils.synthetic import (
+    CORPUS_FAMILIES, corpus_texture,
+)
 
 
 def main():
@@ -51,8 +57,7 @@ def main():
     descs, doc_ids = [], []
     t0 = time.time()
     for i in range(n_tex):
-        tex = value_noise_texture(rng, size=size,
-                                  sharp_features=int(rng.integers(60, 300)))
+        tex = corpus_texture(rng, size=size)
         feats = ext(jnp.asarray(tex))
         v = np.asarray(feats.valid)
         d = np.asarray(feats.desc)[v]
@@ -73,7 +78,12 @@ def main():
                              weight_doc_ids=docs, levelsup=levelsup)
     print(f"trained in {time.time()-t1:.0f}s", flush=True)
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    save_vocabulary(out, vocab)
+    save_vocabulary(
+        out, vocab,
+        provenance=(f"held-out corpus: families={','.join(CORPUS_FAMILIES)} "
+                    f"n_textures={n_tex} size={size} nfeat={nfeat} "
+                    "augment=gamma/contrast/brightness/vignette "
+                    "(value_noise test family EXCLUDED)"))
     print(f"saved {vocab.n_words} words -> {out}"
           f" ({os.path.getsize(out)/1e6:.2f} MB)")
 

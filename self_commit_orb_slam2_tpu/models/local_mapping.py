@@ -575,10 +575,30 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     # points whose reference keyframe was the victim re-anchor on the parent
     pt_ref = jnp.where(m.pt_valid & (m.pt_ref_kf == victim) & do_cull,
                        parent, m.pt_ref_kf)
+    # re-parent the victim's SPANNING-TREE children (reference
+    # KeyFrame::SetBadFlag reassigns children to the best covisible candidate
+    # parent, src/KeyFrame.cc:571-724).  Each child takes its most covisible
+    # OLDER surviving keyframe (seq < child's seq keeps the tree acyclic);
+    # with no covisible older KF it falls back to the victim's own parent
+    # (the reference's fallback, :703).
+    victim_seq = m.kf_seq[victim]
+    is_child = (m.kf_tree_parent_seq == victim_seq) & m.kf_valid & do_cull
+    C_all = ms.covisibility_matrix_cached(m)
+
+    def reparent(c):
+        row = C_all[c].at[victim].set(0).at[c].set(0)
+        older = m.kf_valid & (m.kf_seq < m.kf_seq[c])
+        row = jnp.where(older, row, 0)
+        best = jnp.argmax(row).astype(jnp.int32)
+        return jnp.where(row[best] > 0, m.kf_seq[best], m.kf_seq[parent])
+
+    new_parents = jax.vmap(reparent)(jnp.arange(m.max_kf, dtype=jnp.int32))
+    tree_parent = jnp.where(is_child, new_parents, m.kf_tree_parent_seq)
     return m._replace(
         kf_valid=m.kf_valid.at[victim_s].set(False, mode="drop"),
         kf_parent=m.kf_parent.at[victim_s].set(parent, mode="drop"),
         kf_Tcp=m.kf_Tcp.at[victim_s].set(Tcp, mode="drop"),
+        kf_tree_parent_seq=tree_parent,
         cull_seq=m.cull_seq.at[a_slot].set(m.kf_seq[victim], mode="drop"),
         cull_parent_seq=m.cull_parent_seq.at[a_slot].set(
             m.kf_seq[parent], mode="drop"),

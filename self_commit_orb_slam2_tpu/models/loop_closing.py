@@ -358,6 +358,33 @@ def _search_and_fuse_loop(
     return m._replace(kf_obs_pt=kf_obs_pt)
 
 
+def essential_tree_edges(m: MapState):
+    """Essential-graph backbone edges: the covisibility SPANNING TREE
+    (reference OptimizeEssentialGraph spanning-tree edges,
+    src/Optimizer.cc:1100-1265; tree maintained at KeyFrame.cc:498-556) —
+    each live keyframe connects to its tree parent.  A parent whose seq no
+    longer resolves to a live slot falls back to the keyframe's temporal
+    predecessor so the graph stays connected — on a sequential video the two
+    coincide; on branching/revisiting trajectories the tree routes
+    corrections through covisibility instead of raw recording order.
+    Returns (edge_i [K-1], edge_j [K-1], valid [K-1]) slot indices."""
+    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq, jnp.int32(1 << 30)))
+    seq_i = order[1:]
+    prev_j = order[:-1]
+
+    def tree_parent_slot(i):
+        pseq = m.kf_tree_parent_seq[i]
+        slot = jnp.argmax(m.kf_seq == pseq).astype(jnp.int32)
+        ok = (m.kf_seq[slot] == pseq) & m.kf_valid[slot] & (pseq >= 0) \
+            & (slot != i)
+        return slot, ok
+
+    tp_slot, tp_ok = jax.vmap(tree_parent_slot)(seq_i)
+    seq_j = jnp.where(tp_ok, tp_slot, prev_j)
+    seq_valid = m.kf_valid[seq_i] & m.kf_valid[seq_j]
+    return seq_i, seq_j, seq_valid
+
+
 def correct_loop(
     config: SlamConfig, m: MapState, kf_id: jnp.ndarray, det: LoopDetection
 ) -> MapState:
@@ -381,13 +408,8 @@ def correct_loop(
     S_init = S_old.at[kf_id].set(S_corr_cur)
 
     # ---- edges ----
-    # temporal chain in SEQ order (the spanning tree of a sequential video;
-    # slots are reused so index adjacency is meaningless)
     idx = jnp.arange(K, dtype=jnp.int32)
-    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq, jnp.int32(1 << 30)))
-    seq_i = order[1:]
-    seq_j = order[:-1]
-    seq_valid = m.kf_valid[order[1:]] & m.kf_valid[order[:-1]]
+    seq_i, seq_j, seq_valid = essential_tree_edges(m)
     seq_meas = jax.vmap(
         lambda i, j: sim3.compose(S_old[i], sim3.inverse(S_old[j]))
     )(seq_i, seq_j)

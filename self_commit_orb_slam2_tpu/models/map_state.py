@@ -56,6 +56,15 @@ class MapState(NamedTuple):
     kf_bow_vals: jnp.ndarray   # [K, T] float32 TF-IDF weights
     kf_parent: jnp.ndarray     # [K] int32: parent after culling (-1 = live)
     kf_Tcp: jnp.ndarray        # [K, 4, 4] relative pose to parent at cull time
+    # LIVE covisibility spanning tree (reference KeyFrame::ChangeParent /
+    # UpdateConnections first-connection, src/KeyFrame.cc:498-556): parent =
+    # the most covisible existing keyframe at insertion, re-parented when the
+    # parent is culled (SetBadFlag, :571-724).  Stored as SEQ so it survives
+    # slot reuse; -1 = root.  The essential graph's backbone
+    # (Optimizer::OptimizeEssentialGraph spanning-tree edges,
+    # src/Optimizer.cc:1100-1265) — for branching / revisiting trajectories
+    # this differs from the temporal chain.
+    kf_tree_parent_seq: jnp.ndarray  # [K] int32
     kf_word: jnp.ndarray       # [K, N] int32 BoW word ids (-1 = none)
     kf_node: jnp.ndarray       # [K, N] int32 mid-level node ids (SearchByBoW)
     kf_seq: jnp.ndarray        # [K] int32 insertion sequence number (-1 unused);
@@ -145,6 +154,7 @@ def empty_map(config: SlamConfig) -> MapState:
         kf_bow_vals=jnp.zeros((K, T), f32),
         kf_parent=jnp.full(K, -1, jnp.int32),
         kf_Tcp=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_tree_parent_seq=jnp.full(K, -1, jnp.int32),
         kf_word=jnp.full((K, N), -1, jnp.int32),
         kf_node=jnp.full((K, N), -1, jnp.int32),
         kf_seq=jnp.full(K, -1, jnp.int32),
@@ -200,12 +210,20 @@ def insert_keyframe(
     slot = jnp.argmin(m.kf_valid).astype(jnp.int32)  # first invalid slot
     ok = ~m.kf_valid[slot]
     w = lambda arr, val: arr.at[slot].set(jnp.where(ok, val, arr[slot]))
+    # spanning-tree parent: the most covisible EXISTING keyframe (reference
+    # sets mpParent to the top covisible at the first UpdateConnections,
+    # src/KeyFrame.cc:498-556); root (-1) when nothing is shared yet
+    tree_counts = covisibility_row_cached(
+        m, jnp.where(frame.valid, obs_pt, NO_POINT))
+    tp = jnp.argmax(tree_counts).astype(jnp.int32)
+    parent_seq = jnp.where(tree_counts[tp] > 0, m.kf_seq[tp], jnp.int32(-1))
     m2 = m._replace(
         kf_Tcw=w(m.kf_Tcw, Tcw),
         kf_valid=m.kf_valid.at[slot].set(ok | m.kf_valid[slot]),
         kf_seq=w(m.kf_seq, m.n_kf),
         kf_parent=w(m.kf_parent, jnp.int32(-1)),
         kf_Tcp=w(m.kf_Tcp, jnp.eye(4, dtype=jnp.float32)),
+        kf_tree_parent_seq=w(m.kf_tree_parent_seq, parent_seq),
         kf_frame_id=w(m.kf_frame_id, frame_id.astype(jnp.int32)),
         kf_timestamp=w(m.kf_timestamp, timestamp.astype(jnp.float32)),
         kf_xy=w(m.kf_xy, frame.xy),

@@ -77,6 +77,30 @@ def try_initialize(
     pts = res.points * inv_med
     Tcw2 = res.Tcw2.at[:3, 3].multiply(inv_med)
 
+    # --- doubled-budget bootstrap downselect -------------------------------
+    # The reference extracts 2x nFeatures before the map exists
+    # (mpIniORBextractor, src/Tracking.cc:121-124, used at :387-406) so the
+    # two-view bootstrap sees a dense candidate set.  System feeds such
+    # doubled frames here; matching/RANSAC/triangulation above ran at the
+    # full doubled capacity, and the N best features per frame (triangulated
+    # ones first, then by response) are kept for the fixed-capacity map rows.
+    N = config.orb.feat_capacity()
+    if f1.capacity > N:
+        key1 = good.astype(jnp.float32) * 1e9 + f1.response
+        _, idx1 = jax.lax.top_k(jnp.where(f1.valid, key1, -jnp.inf), N)
+        prio2 = jnp.zeros(f2.capacity, bool).at[
+            jnp.where(good, j, f2.capacity + 1)].set(True, mode="drop")
+        key2 = prio2.astype(jnp.float32) * 1e9 + f2.response
+        _, idx2 = jax.lax.top_k(jnp.where(f2.valid, key2, -jnp.inf), N)
+        inv2 = jnp.full(f2.capacity, -1, jnp.int32).at[idx2].set(
+            jnp.arange(N, dtype=jnp.int32))
+        f1 = jax.tree.map(lambda a: a[idx1], f1)
+        f2 = jax.tree.map(lambda a: a[idx2], f2)
+        pts = pts[idx1]
+        j = inv2[j[idx1]]
+        good = good[idx1] & (j >= 0)
+        j = jnp.clip(j, 0, N - 1)
+
     # --- build the two-keyframe map ---
     obs_none = jnp.full(f1.capacity, NO_POINT, jnp.int32)
     from .tracking import _frame_bow

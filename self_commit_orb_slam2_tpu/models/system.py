@@ -599,8 +599,14 @@ class System:
         from . import mono_init
 
         if not hasattr(self, "_jit_mono_frame"):
+            # DOUBLED feature budget before the map exists (reference
+            # mpIniORBextractor = 2x nFeatures, src/Tracking.cc:121-124):
+            # bootstrap frames carry 2N candidates; try_initialize keeps the
+            # N best (triangulated first) for the fixed-capacity map rows.
+            ini_cfg = self.config._replace(orb=self.config.orb._replace(
+                n_features=2 * self.config.orb.n_features))
             self._jit_mono_frame = jax.jit(
-                _ft.partial(frame_mod.make_frame_mono, self.config)
+                _ft.partial(frame_mod.make_frame_mono, ini_cfg)
             )
             self._jit_mono_try = jax.jit(
                 _ft.partial(mono_init.try_initialize, self.config)

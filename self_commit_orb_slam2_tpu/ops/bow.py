@@ -231,7 +231,11 @@ def bow_vector(vocab: Vocabulary, words: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
 
 
-def save_vocabulary(path: str, vocab: Vocabulary) -> None:
+def save_vocabulary(path: str, vocab: Vocabulary,
+                    provenance: str = "") -> None:
+    """`provenance` records the training-corpus description (texture
+    families, counts) so tests can assert the shipped vocabulary was trained
+    on a corpus disjoint from the test scenes."""
     np.savez_compressed(
         path,
         node_desc=np.asarray(vocab.node_desc),
@@ -239,7 +243,14 @@ def save_vocabulary(path: str, vocab: Vocabulary) -> None:
         word_id=np.asarray(vocab.word_id),
         word_weight=np.asarray(vocab.word_weight),
         meta=np.array([vocab.k, vocab.L, vocab.n_words, vocab.levelsup]),
+        provenance=np.array(provenance),
     )
+
+
+def vocabulary_provenance(path: str) -> str:
+    """Training-corpus description stored by save_vocabulary ('' if absent)."""
+    with np.load(path) as z:
+        return str(z["provenance"]) if "provenance" in z else ""
 
 
 def load_vocabulary(path: str) -> Vocabulary:

@@ -43,3 +43,36 @@ def test_mono_tracking():
     print(f"mono ATE (Sim3-aligned): {ate*100:.2f}cm kf={slam.n_keyframes()} "
           f"pts={slam.n_points()} init_lag={n-k}")
     assert ate < 0.06, f"mono ATE {ate:.3f}m"
+
+
+@pytest.mark.slow
+def test_mono_tracking_ref_scale():
+    """Mono e2e at the reference's 640x480/1000-feature operating point
+    (reference Examples/Monocular/TUM1.yaml).  The DOUBLED init feature
+    budget (System's ini extractor = 2x nFeatures, reference
+    Tracking.cc:121-124) must bootstrap within a few frames here."""
+    n = 36
+    seq = generate_sequence(n_frames=n, width=640, height=480, fx=520.0,
+                            seed=6)
+    cam = CameraParams.create(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                              bf=0.0, width=640, height=480)
+    slam = System(SlamConfig(
+        camera=cam, orb=OrbConfig(n_features=1000),
+        caps=Capacities(max_keyframes=32, max_points=16384,
+                        local_points=1024),
+        tracking=TrackingConfig(max_frames_between_kf=8,
+                                kf_ref_ratio_stereo=0.8),
+        sensor="mono",
+    ))
+    for i in range(n):
+        slam.track_monocular(seq.images[i], float(seq.timestamps[i]))
+    assert slam.state == STATE_OK, "mono tracking lost at ref scale"
+    _, est = slam.get_trajectory()
+    k = len(est)
+    init_lag = n - k
+    assert init_lag <= 6, f"mono init took {init_lag} frames at ref scale"
+    gt = seq.poses_gt[init_lag:]
+    ate = ate_rmse(est, gt, with_scale=True)
+    print(f"mono ref-scale ATE: {ate*100:.2f}cm init_lag={init_lag} "
+          f"kf={slam.n_keyframes()} pts={slam.n_points()}")
+    assert ate < 0.06, f"mono ref-scale ATE {ate:.3f}m"
