@@ -40,8 +40,10 @@ def main():
     # default bench attaches as extra.long_run
     long_arg = next((a for a in sys.argv[1:] if a.startswith("--long")), None)
     if long_arg is not None:
-        n_long = int(long_arg.split("=", 1)[1]) if "=" in long_arg else 4000
-        return bench_long(n_long)
+        kitti = "--size=kitti" in sys.argv
+        n_long = int(long_arg.split("=", 1)[1]) if "=" in long_arg \
+            else (500 if kitti else 4000)
+        return bench_long(n_long, kitti=kitti)
     # --dataset=DIR: bench on a real TUM RGB-D directory instead of the
     # synthetic scene — the moment real data is mountable, ATE-parity
     # numbers drop out of the same harness with zero new code.
@@ -158,19 +160,22 @@ def main():
 
 
 def _long_run_extra():
-    """Attach the most recent --long run's record (if any) to the artifact."""
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_long.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            return {"long_run": json.load(f)}
-    return {}
+    """Attach the most recent --long runs' records (if any) to the artifact."""
+    out = {}
+    for key, name in (("long_run", "bench_long.json"),
+                      ("long_run_kitti", "bench_long_kitti.json")):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+        if os.path.exists(p):
+            with open(p) as f:
+                out[key] = json.load(f)
+    return out
 
 
-def bench_long(n_frames: int):
-    """Reference-length bounded-map run: n_frames (default 4000) at the
-    640x480/1000-feature default configuration WITH the vocabulary, cycling
-    one rendered look-at orbit so the camera re-traverses the same arc
+def bench_long(n_frames: int, kitti: bool = False):
+    """Reference-length bounded-map run at the default 640x480/1000f RGB-D
+    configuration (default 4000 frames) or KITTI stereo geometry
+    (--size=kitti, default 500 frames), WITH the vocabulary, cycling one
+    rendered look-at orbit so the camera re-traverses the same arc
     (KITTI-00-style revisits; the reference's 4500-frame KITTI 00 stays
     bounded through LocalMapping culling, src/LocalMapping.cc:261,873).
     Records fps, ATE, live/culled keyframe counts, and map-boundedness."""
@@ -187,11 +192,16 @@ def bench_long(n_frames: int):
     from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
     from self_commit_orb_slam2_tpu.utils.synthetic import generate_sequence
 
-    width, height, fx, n_feat = 640, 480, 520.0, 1000
-    cycle = 160  # one full look-at orbit (periodic across the wrap)
+    if kitti:
+        width, height, fx, n_feat = 1241, 376, 718.9, 2000
+        sensor, bar, cycle = "stereo", 10.0, 120
+    else:
+        width, height, fx, n_feat = 640, 480, 520.0, 1000
+        sensor, bar, cycle = "rgbd", 30.0, 160
     vocab = load_vocabulary(_default_vocab_path())
     seq = generate_sequence(n_frames=cycle, width=width, height=height,
-                            fx=fx, seed=5)
+                            fx=fx, seed=5,
+                            stereo_baseline=0.1 if sensor == "stereo" else 0.0)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
                               bf=fx * 0.1, width=width, height=height)
     cfg = SlamConfig(
@@ -199,10 +209,13 @@ def bench_long(n_frames: int):
         caps=Capacities(max_keyframes=64, max_points=16384,
                         local_points=1024),
         tracking=TrackingConfig(max_frames_between_kf=10),
-        sensor="rgbd", vocab=vocab,
+        sensor=sensor, vocab=vocab,
     )
     slam = System(cfg)
     slam.warm_start()
+    second = seq.right_images if sensor == "stereo" else seq.depths
+    track = (slam.track_batch_stereo if sensor == "stereo"
+             else slam.track_batch_rgbd)
     C = slam._batch_chunk
     done, t_timed, timed_frames = 0, 0.0, 0
     idx0 = np.arange(C)
@@ -210,7 +223,7 @@ def bench_long(n_frames: int):
         idx = (done + idx0) % cycle
         ts = (done + idx0) / 30.0
         t0 = time.perf_counter()
-        slam.track_batch_rgbd(seq.images[idx], seq.depths[idx], ts)
+        track(seq.images[idx], second[idx], ts)
         dt = time.perf_counter() - t0
         if done >= 2 * C:  # skip compile + pipeline warmup chunks
             t_timed += dt
@@ -236,14 +249,15 @@ def bench_long(n_frames: int):
                           if slam._loop_closer else 0),
         "backend": str(jax.devices()[0]),
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "bench_long.json")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_long_kitti.json" if kitti else "bench_long.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps({
-        "metric": f"rgbd_long_run_{width}x{height}_{n_feat}feat_vocab",
+        "metric": f"{sensor}_long_run_{width}x{height}_{n_feat}feat_vocab",
         "value": record["fps"], "unit": "frames/s",
-        "vs_baseline": round(record["fps"] / 30.0, 3), "extra": record,
+        "vs_baseline": round(record["fps"] / bar, 3), "extra": record,
     }))
 
 

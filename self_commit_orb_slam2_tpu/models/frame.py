@@ -130,11 +130,14 @@ def make_frames_stereo_batch(
     matcher.  See make_frames_rgbd_batch."""
     cam = config.camera
     B, H, W = images_l.shape
-    both = jnp.stack([images_l, images_r], axis=1).reshape(2 * B, H, W)
+    # contiguous [left-block; right-block] layout: the per-eye splits below
+    # are free slices — the interleaved layout's stride-2 gathers on the
+    # [2B, slab] pyramid cost ~5 ms/frame at KITTI width (round-4 profile)
+    both = jnp.concatenate([images_l, images_r], axis=0)
     feats, slabs = orb_extractor.extract_batch(both, config.orb)
-    feats_l = jax.tree.map(lambda x: x[0::2], feats)
-    feats_r = jax.tree.map(lambda x: x[1::2], feats)
-    slab_l, slab_r = slabs[0::2], slabs[1::2]
+    feats_l = jax.tree.map(lambda x: x[:B], feats)
+    feats_r = jax.tree.map(lambda x: x[B:], feats)
+    slab_l, slab_r = slabs[:B], slabs[B:]
     dims = level_shapes(H, W, config.orb.n_levels, config.orb.scale_factor)
     scale_factors = jnp.asarray(config.orb.scale_factors())
     sm = jax.vmap(

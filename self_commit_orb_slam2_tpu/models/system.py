@@ -128,11 +128,16 @@ class System:
         # small enough that upload(k+1) overlaps compute(k), large enough to
         # amortize the tunnel's per-transfer stall.  Round-3 sweeps: small
         # frames (320x240, ~0.2MB/frame) peak at chunk 4, large frames
-        # (640x480+, ~1MB/frame) at chunk 8 — default by upload volume.
+        # (640x480, ~1MB/frame) at chunk 8.  Round-4: VERY WIDE frames
+        # (KITTI 1241px stereo) peak at chunk 4 on-device — the chunked
+        # pyramid slab working set at chunk 8 costs ~10% device throughput
+        # (measured 48.9 -> 53.6 fps).
         frame_bytes = int(cfg.camera.width) * int(cfg.camera.height) * (
             2 if cfg.sensor == "stereo" else 3)
         self._batch_chunk = int(os.environ.get(
-            "SLAM_BATCH_CHUNK", "4" if frame_bytes < 500_000 else "8"))
+            "SLAM_BATCH_CHUNK",
+            "4" if (frame_bytes < 500_000 or cfg.camera.width >= 1000)
+            else "8"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:

@@ -121,14 +121,19 @@ def match_stereo(
     rows_r = jnp.take(
         blocks, ((rowidx + L * H0) * nbk + blk_r[:, None]).reshape(-1), axis=0
     ).reshape(nl, win, BW)
+    # one-hot column selection is exact at 3-pass bf16 (see
+    # ops/orb/sample._SEL_PREC) — half the MXU passes of the package default
+    sel_prec = jax.lax.Precision.HIGH
     wiota = jnp.arange(BW, dtype=jnp.int32)
     colsel_l = (wiota[None, :, None]
                 == (off_l[:, None, None] + iota[None, None, :])).astype(jnp.float32)
-    patch_l = jnp.einsum("npw,nwq->npq", rows_l, colsel_l)             # [N, 11, 11]
+    patch_l = jnp.einsum("npw,nwq->npq", rows_l, colsel_l,
+                         precision=sel_prec)                           # [N, 11, 11]
     iota_r = jnp.arange(wr, dtype=jnp.int32)
     colsel_r = (wiota[None, :, None]
                 == (off_r[:, None, None] + iota_r[None, None, :])).astype(jnp.float32)
-    strip_r = jnp.einsum("npw,nwq->npq", rows_r, colsel_r)             # [N, 11, 21]
+    strip_r = jnp.einsum("npw,nwq->npq", rows_r, colsel_r,
+                         precision=sel_prec)                           # [N, 11, 21]
 
     # center-normalize like the reference (IL - IL(center), :1255 region)
     patch_l = patch_l - patch_l[:, SAD_HALF, SAD_HALF][:, None, None]

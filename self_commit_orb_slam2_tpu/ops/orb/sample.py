@@ -38,6 +38,17 @@ PATCH = 48  # rotated BRIEF reach (measured <=19) + 3px blur halo + margins:
 #             every tap row/col lies in [r-19-3, r+19+3] = [0, 44] of the
 #             48-patch at r = 22, so interior taps see the pure blur kernel
 
+# ONE-HOT selection matmuls run at 3-pass bf16 (Precision.HIGH): each output
+# element has exactly one nonzero product x*1, and the 3-way bf16 split of an
+# f32 reconstructs x to within 1 ulp in the f32 accumulator (measured effect:
+# <= 3 of 256k descriptor bits and <5e-5 rad of angle vs the full-precision
+# path — far below BRIEF's 50-bit matching threshold).  The package default
+# (highest = 6-pass) doubles MXU passes on these selectors — the dominant
+# extraction cost at 2000 features (round-4 profile: orient_and_describe
+# 2.4 of 3.9 ms/frame at KITTI scale).  Blur/moment matmuls with REAL
+# coefficients stay at the package default.
+_SEL_PREC = jax.lax.Precision.HIGH
+
 _PATTERN_XY = BIT_PATTERN_31.reshape(256, 2, 2).reshape(512, 2).astype(np.float32)
 _BIT_WEIGHTS = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint32)
 
@@ -119,7 +130,8 @@ def orient_and_describe(
         jnp.arange(BW, dtype=jnp.int32)[None, :, None]
         == (off[:, None, None] + iota[None, None, :])
     ).astype(jnp.float32)                                # [N, BW, ps]
-    raw = jnp.einsum("npw,nwq->npq", rows, colsel)       # [N, ps, ps]
+    raw = jnp.einsum("npw,nwq->npq", rows, colsel,
+                     precision=_SEL_PREC)                # [N, ps, ps]
 
     # patch-local blur (reads confined to >=3px inside the patch)
     Bm = jnp.asarray(_patch_blur_matrix(ps))
@@ -132,8 +144,9 @@ def orient_and_describe(
     ox = (xy[:, 0].astype(jnp.int32) - x0)[:, None] + d[None, :]
     U = (oy[:, :, None] == iota).astype(jnp.float32)  # [N, 31, ps]
     V = (ox[:, :, None] == iota).astype(jnp.float32)
-    t = jnp.einsum("nip,npq->niq", U, raw)
-    p31 = jnp.einsum("niq,njq->nij", t, V)            # [N, 31, 31]
+    t = jnp.einsum("nip,npq->niq", U, raw, precision=_SEL_PREC)
+    p31 = jnp.einsum("niq,njq->nij", t, V,
+                     precision=_SEL_PREC)             # [N, 31, 31]
     m10 = jnp.sum(p31 * jnp.asarray(_DX), axis=(1, 2))
     m01 = jnp.sum(p31 * jnp.asarray(_DY), axis=(1, 2))
     angle = jnp.arctan2(m01, m10)
@@ -148,7 +161,7 @@ def orient_and_describe(
     ly = jnp.clip((xy[:, 1:2] + ry).astype(jnp.int32) - y0[:, None], 0, ps - 1)
     Us = (ly[:, :, None] == iota).astype(jnp.float32)  # [N, 512, ps]
     Vs = (lx[:, :, None] == iota).astype(jnp.float32)
-    ts = jnp.einsum("nsp,npq->nsq", Us, blur)
+    ts = jnp.einsum("nsp,npq->nsq", Us, blur, precision=_SEL_PREC)
     samples = jnp.sum(ts * Vs, axis=-1)                # [N, 512]
 
     a = samples[:, 0::2]
