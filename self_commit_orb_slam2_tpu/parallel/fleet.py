@@ -61,6 +61,12 @@ class FleetTracker:
         self.map = None      # stacked [S, ...] MapState
         self.carry = None    # stacked [S, ...] TrackCarry
         self.trajectories = [[] for _ in range(n_streams)]
+        # per-stream serving state, refreshed each track_chunk: tracking
+        # alive, and the localization-mode VO flag (the reference's mbVO —
+        # "map support lost, tracking on temporal VO points",
+        # src/Tracking.cc:538-541); a serving deployment watches these
+        self.state_ok = np.ones(n_streams, bool)
+        self.vo = np.zeros(n_streams, bool)
 
         batch_fn = (pipeline.batch_steps_rgbd_packed if sensor == "rgbd"
                     else pipeline.batch_steps_stereo_packed)
@@ -187,6 +193,8 @@ class FleetTracker:
         for s in range(S):
             infos = pipeline.unpack_infos(packed[s])
             poses[s] = infos.Tcw
+            self.state_ok[s] = bool(infos.state_ok[-1])
+            self.vo[s] = bool(infos.vo[-1])
             for b_i in range(B):
                 self.trajectories[s].append((float(ts[s][b_i]),
                                              np.asarray(infos.Tcw[b_i])))

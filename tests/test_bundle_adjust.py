@@ -131,3 +131,70 @@ def test_ba_handles_missing_observations(rng):
     assert np.all(np.isfinite(np.asarray(res.kf_Tcw)))
     assert np.all(np.isfinite(np.asarray(res.pt_pos)))
     assert float(res.mean_chi2) < 1.0
+
+
+def test_ba_budget_converges_at_kitti_geometry(rng):
+    """The shipped local-BA iteration budget (3 pre + 5 post outlier-gate
+    GN iterations, config.Capacities.ba_iters_*) must reach the same
+    solution as the reference's 5+10 (g2o, Optimizer.cc:863-917) at KITTI
+    geometry and feature density — round-3 review flagged that the halved
+    budget was only ever validated on the small benchmark."""
+    kitti_cam = CameraParams.create(fx=718.9, fy=718.9, cx=620.5, cy=188.0,
+                                    bf=71.9, width=1241, height=376)
+    K, P = 12, 2048  # a local-BA window at 2000-feature density
+    pts = rng.uniform(-8, 8, (P, 3)).astype(np.float32)
+    pts[:, 2] += 25.0  # KITTI-like depths
+    poses = []
+    for k in range(K):
+        # forward motion ~1 m/keyframe with slight yaw (KITTI-like)
+        xi = np.array([0.02 * k, 0.0, 1.0 * k, 0.0, 0.015 * k, 0.0],
+                      np.float32)
+        poses.append(np.asarray(se3.se3_exp(jnp.asarray(xi * 0.3))))
+    poses = np.stack(poses)
+    obs_pt = np.tile(np.arange(P, dtype=np.int32), (K, 1))
+    obs_uvr = np.zeros((K, P, 3), np.float32)
+    vis = np.zeros((K, P), bool)
+    for k in range(K):
+        pc = pts @ poses[k][:3, :3].T + poses[k][:3, 3]
+        uv, z = project(kitti_cam, jnp.asarray(pc))
+        uv = np.asarray(uv) + rng.normal(0, 0.5, (P, 2)).astype(np.float32)
+        ur = uv[:, 0] - np.asarray(kitti_cam.bf) / np.maximum(pc[:, 2], 1e-3)
+        obs_uvr[k] = np.concatenate([uv, ur[:, None]], -1)
+        vis[k] = ((pc[:, 2] > 1.0) & (uv[:, 0] >= 0) & (uv[:, 0] < 1241)
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < 376))
+    # drift-like perturbation: grows with k (what local BA actually faces)
+    poses_n = poses.copy()
+    for k in range(1, K):
+        xi = rng.normal(0, 0.003 * k, 6).astype(np.float32)
+        poses_n[k] = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ poses_n[k]
+    pts_n = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    kf_free = jnp.asarray(np.arange(K) > 0)
+
+    def run(pre, post):
+        return bundle_adjust(
+            kitti_cam, jnp.asarray(poses_n), jnp.asarray(pts_n),
+            jnp.asarray(obs_pt), jnp.asarray(obs_uvr),
+            jnp.ones((K, P), jnp.float32), jnp.asarray(vis),
+            kf_free, jnp.ones(P, bool),
+            n_iters_pre=pre, n_iters_post=post,
+        )
+
+    ours = run(3, 5)       # shipped budget (Capacities.ba_iters_pre/post)
+    ref = run(5, 10)       # reference budget
+    # both must recover ground truth; the cheap budget within 20% of the
+    # reference budget's pose error (both should be sub-centimeter here)
+    def pose_err(res):
+        errs = []
+        for k in range(1, K):
+            d = np.asarray(res.kf_Tcw)[k] @ np.linalg.inv(poses[k])
+            errs.append(np.linalg.norm(np.asarray(se3.se3_log(jnp.asarray(d)))))
+        return float(np.max(errs))
+
+    e_ours, e_ref = pose_err(ours), pose_err(ref)
+    # ~8 mm worst-case over an 11 m window at 0.5 px observation noise and
+    # 25 m depths: observation-noise-limited, not iteration-limited
+    assert e_ref < 2e-2, f"reference budget failed to converge: {e_ref}"
+    assert e_ours < max(1.2 * e_ref, 5e-3), (
+        f"shipped 3+5 budget under-converges at KITTI geometry: "
+        f"{e_ours:.5f} vs reference-budget {e_ref:.5f}")
+    assert float(ours.mean_chi2) < 1.2 * float(ref.mean_chi2) + 1e-3

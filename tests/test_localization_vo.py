@@ -137,6 +137,52 @@ def test_vo_survives_offmap_excursion(seq_and_vocab):
 
 
 @pytest.mark.slow
+def test_fleet_serving_survives_offmap_excursion(seq_and_vocab):
+    """Fleet localization-serving inherits VO through the shared pipeline:
+    one stream replays mapped views (control) while another leaves the
+    mapped sector — the excursion stream must flag vo, keep tracking, and
+    recover on return; the control stream must never flag vo."""
+    from self_commit_orb_slam2_tpu.parallel.fleet import (
+        FleetTracker, make_fleet_mesh,
+    )
+
+    seq, vocab, n_ramp = seq_and_vocab
+    slam = _make_system(vocab)
+    for i in range(N_MAP):
+        slam.track_rgbd(seq.images[i], seq.depths[i], float(seq.timestamps[i]))
+    m = slam.map
+
+    fleet = FleetTracker(slam.config, n_streams=2, mesh=make_fleet_mesh(2),
+                         localization_only=True)
+    ok = fleet.initialize_localization(
+        m,
+        np.stack([seq.images[0], seq.images[N_MAP]]),   # both near yaw 0
+        np.stack([seq.depths[0], seq.depths[N_MAP]]),
+        np.zeros(2, np.float32),
+    )
+    assert ok.all(), "fleet relocalization bring-up failed"
+
+    n_loc = len(seq.images) - N_MAP
+    B = 8
+    n_chunks = n_loc // B
+    saw_vo_away = False
+    for c in range(n_chunks):
+        lo = N_MAP + c * B
+        # stream 0 (control): cycle mapped views; stream 1: the excursion
+        ctrl = [(c * B + k) % N_MAP for k in range(B)]
+        a = np.stack([seq.images[ctrl], seq.images[lo:lo + B]])
+        d = np.stack([seq.depths[ctrl], seq.depths[lo:lo + B]])
+        ts = np.tile((np.arange(B) + c * B) / 30.0, (2, 1))
+        fleet.track_chunk(a, d, ts)
+        assert not fleet.vo[0], "control stream flagged VO on mapped views"
+        if lo + B > N_MAP + n_ramp - 6 and lo < N_MAP + n_ramp + HOLD:
+            saw_vo_away = saw_vo_away or bool(fleet.vo[1])
+    assert saw_vo_away, "excursion stream never entered VO off-map"
+    assert fleet.state_ok[1], "excursion stream did not recover on return"
+    assert not fleet.vo[1], "VO flag stuck after return"
+
+
+@pytest.mark.slow
 def test_localization_mode_stays_on_map(seq_and_vocab):
     """Control: while the view stays mapped, localization mode must track
     on real map support (vo_mode False throughout) and create no keyframes."""
