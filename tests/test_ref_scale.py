@@ -31,7 +31,7 @@ def test_ref_scale_rgbd_accuracy():
     at the same few-mm level as quarter scale — round 2's 0.368m here was a
     bench-harness intrinsics mismatch, and this test pins the fix."""
     width, height, fx, nfeat = 640, 480, 520.0, 1000
-    n = 60
+    n = 120  # two sweep cycles: revisits exercise the KF policy + culling
     seq = generate_sequence(n_frames=n, width=width, height=height, fx=fx,
                             seed=5)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
@@ -58,7 +58,7 @@ def test_kitti_scale_stereo_accuracy():
     track (round 2's judge run reported tracking_lost=true here) with sane
     accuracy."""
     width, height, fx, nfeat = 1241, 376, 718.9, 2000
-    n = 24
+    n = 40
     seq = generate_sequence(n_frames=n, width=width, height=height, fx=fx,
                             seed=5, stereo_baseline=0.1)
     cam = CameraParams.create(fx=fx, fy=fx, cx=width / 2, cy=height / 2,
