@@ -126,18 +126,13 @@ class System:
         self._reloc_key = jax.random.PRNGKey(0)
         # streaming chunk size for _track_batch (frames per device dispatch);
         # small enough that upload(k+1) overlaps compute(k), large enough to
-        # amortize the tunnel's per-transfer stall.  Round-3 sweeps: small
-        # frames (320x240, ~0.2MB/frame) peak at chunk 4, large frames
-        # (640x480, ~1MB/frame) at chunk 8.  Round-4: VERY WIDE frames
-        # (KITTI 1241px stereo) peak at chunk 4 on-device — the chunked
-        # pyramid slab working set at chunk 8 costs ~10% device throughput
-        # (measured 48.9 -> 53.6 fps).
-        frame_bytes = int(cfg.camera.width) * int(cfg.camera.height) * (
-            2 if cfg.sensor == "stereo" else 3)
-        self._batch_chunk = int(os.environ.get(
-            "SLAM_BATCH_CHUNK",
-            "4" if (frame_bytes < 500_000 or cfg.camera.width >= 1000)
-            else "8"))
+        # amortize the tunnel's per-transfer stall.  Round-3 sweeps picked 8
+        # for large frames, but with the round-4 two-dispatch frame/scan
+        # split and async StepInfo fetches chunk 4 wins everywhere: the
+        # chunk-8 pyramid-slab working set costs ~10% device throughput at
+        # both 640x480 (151.9 -> 164.7 fps) and KITTI width (48.9 -> 53.6),
+        # and quiet-machine e2e is equal or better (39.5 vs 41.7/34.2).
+        self._batch_chunk = int(os.environ.get("SLAM_BATCH_CHUNK", "4"))
         self._last_big_change = 0
         self._loop_closer = None
         if enable_loop_closing:
