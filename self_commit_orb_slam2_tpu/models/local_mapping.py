@@ -579,8 +579,12 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
     # KeyFrame::SetBadFlag reassigns children to the best covisible candidate
     # parent, src/KeyFrame.cc:571-724).  Each child takes its most covisible
     # OLDER surviving keyframe (seq < child's seq keeps the tree acyclic);
-    # with no covisible older KF it falls back to the victim's own parent
-    # (the reference's fallback, :703).
+    # with no covisible older KF it falls back to the VICTIM'S OWN tree
+    # parent (the reference's mpParent fallback, :703) — which is strictly
+    # older than the victim, hence older than every child.  (The victim's
+    # most-covisible survivor `parent` above is often one of the children
+    # themselves, so it must not be the fallback: a newer-seq or self parent
+    # would break the parent-strictly-older tree invariant.)
     victim_seq = m.kf_seq[victim]
     is_child = (m.kf_tree_parent_seq == victim_seq) & m.kf_valid & do_cull
     C_all = ms.covisibility_matrix_cached(m)
@@ -590,7 +594,8 @@ def cull_keyframes(config: SlamConfig, m: MapState, kf_id: jnp.ndarray,
         older = m.kf_valid & (m.kf_seq < m.kf_seq[c])
         row = jnp.where(older, row, 0)
         best = jnp.argmax(row).astype(jnp.int32)
-        return jnp.where(row[best] > 0, m.kf_seq[best], m.kf_seq[parent])
+        return jnp.where(row[best] > 0, m.kf_seq[best],
+                         m.kf_tree_parent_seq[victim])
 
     new_parents = jax.vmap(reparent)(jnp.arange(m.max_kf, dtype=jnp.int32))
     tree_parent = jnp.where(is_child, new_parents, m.kf_tree_parent_seq)

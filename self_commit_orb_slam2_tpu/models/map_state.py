@@ -81,6 +81,12 @@ class MapState(NamedTuple):
     pt_first_kf: jnp.ndarray   # [P] int32 (MapPoint culling rules)
     pt_visible: jnp.ndarray    # [P] int32
     pt_found: jnp.ndarray      # [P] int32
+    # Unique creation stamp (the monotone n_pt counter at creation): slots
+    # are REUSED after culling, so a carried point id is only trustworthy
+    # while the slot's birth stamp matches the one captured with it — the
+    # guard tracking applies is our CheckReplacedInLastFrame analogue
+    # (reference src/Tracking.cc:1152, MapPoint::Replace MapPoint.cc:244).
+    pt_birth: jnp.ndarray      # [P] int32
     # Cached observation counts (#keyframes observing each point), refreshed
     # at the end of every mapping phase.  The per-frame tracking KF policy
     # reads this instead of re-running the O(K*N) observation_count scatter
@@ -168,6 +174,7 @@ def empty_map(config: SlamConfig) -> MapState:
         pt_first_kf=jnp.zeros(P, jnp.int32),
         pt_visible=jnp.zeros(P, jnp.int32),
         pt_found=jnp.zeros(P, jnp.int32),
+        pt_birth=jnp.zeros(P, jnp.int32),
         pt_obs=jnp.zeros(P, jnp.int32),
         kf_pt_inc=jnp.zeros((K, P), jnp.int8),
         cull_seq=jnp.full(config.caps.cull_log, -1, jnp.int32),
@@ -212,8 +219,14 @@ def insert_keyframe(
     w = lambda arr, val: arr.at[slot].set(jnp.where(ok, val, arr[slot]))
     # spanning-tree parent: the most covisible EXISTING keyframe (reference
     # sets mpParent to the top covisible at the first UpdateConnections,
-    # src/KeyFrame.cc:498-556); root (-1) when nothing is shared yet
-    tree_counts = covisibility_row_cached(
+    # src/KeyFrame.cc:498-556); root (-1) when nothing is shared yet.
+    # EXACT covisibility row (gather-based), not the cached-incidence matvec:
+    # the cache refreshes only per mapping phase, so a keyframe inserted
+    # before the cache reflects recent bindings (two keyframes in one chunk,
+    # mono-init's kf2) would get a stale/-1 parent exactly on the revisit
+    # trajectories the tree exists for.  One O(K*N) gather per keyframe
+    # insertion is off the per-frame hot path.
+    tree_counts = covisibility_row(
         m, jnp.where(frame.valid, obs_pt, NO_POINT))
     tp = jnp.argmax(tree_counts).astype(jnp.int32)
     parent_seq = jnp.where(tree_counts[tp] > 0, m.kf_seq[tp], jnp.int32(-1))
@@ -303,6 +316,9 @@ def add_points(
         pt_first_kf=m.pt_first_kf.at[ids].set(m.kf_seq[kf_id], **mode),
         pt_visible=m.pt_visible.at[ids].set(1, **mode),
         pt_found=m.pt_found.at[ids].set(1, **mode),
+        # unique birth stamp from the monotone creation counter (slot-reuse
+        # guard; see the MapState field comment)
+        pt_birth=m.pt_birth.at[ids].set(m.n_pt + rank, **mode),
         pt_obs=m.pt_obs.at[ids].set(1, **mode),
         kf_pt_inc=m.kf_pt_inc.at[kf_id, ids].set(1, **mode),
         n_pt=m.n_pt + jnp.sum(create_mask).astype(jnp.int32),

@@ -158,9 +158,12 @@ def try_initialize(
         & (res.n_good >= tcfg.mono_init_min_points)
     )
     carry = pipeline.init_carry(config, f2)
+    obs2 = m1.kf_obs_pt[kf2]
     carry = carry._replace(
         Tcw=ba.kf_Tcw[1],
-        last_obs_pt=m1.kf_obs_pt[kf2],
+        last_obs_pt=obs2,
+        last_obs_birth=jnp.where(
+            obs2 >= 0, m1.pt_birth[jnp.clip(obs2, 0, m1.max_pt - 1)], 0),
         frame_id=frame_id2.astype(jnp.int32) + 1,
         last_kf_frame_id=frame_id2.astype(jnp.int32),
         prev_inliers=res.n_good.astype(jnp.int32),

@@ -37,6 +37,12 @@ class TrackCarry(NamedTuple):
     velocity: jnp.ndarray       # [4, 4]
     last_frame: FrameData
     last_obs_pt: jnp.ndarray    # [N]
+    last_obs_birth: jnp.ndarray # [N] pt_birth stamp captured with last_obs_pt:
+                                # a carried id is only valid while its slot's
+                                # stamp still matches (cull + free-list reuse
+                                # can rebind the slot to a different 3D point
+                                # between frames — the CheckReplacedInLastFrame
+                                # analogue, reference src/Tracking.cc:1152)
     frame_id: jnp.ndarray       # scalar int32
     last_kf_frame_id: jnp.ndarray
     prev_inliers: jnp.ndarray   # scalar int32
@@ -70,6 +76,7 @@ def init_carry(config: SlamConfig, frame: FrameData) -> TrackCarry:
         velocity=jnp.eye(4, dtype=jnp.float32),
         last_frame=frame,
         last_obs_pt=jnp.full(n, NO_POINT, jnp.int32),
+        last_obs_birth=jnp.zeros(n, jnp.int32),
         frame_id=jnp.int32(0),
         last_kf_frame_id=jnp.int32(0),
         prev_inliers=jnp.int32(0),
@@ -144,6 +151,7 @@ def track_step(
             lambda vel, rad: tracking.track_motion_loc(
                 config, m, frame, carry.Tcw, vel, carry.last_frame,
                 carry.last_obs_pt, rad,
+                last_obs_birth=carry.last_obs_birth,
             )
         )(hyp_vel, hyp_rad))
         ok_mm = res.n_inliers > 20           # loc-mode MM return (:1427)
@@ -177,6 +185,7 @@ def track_step(
             lambda vel, rad: tracking.track_motion(
                 config, m, frame, carry.Tcw, vel, carry.last_frame,
                 carry.last_obs_pt, rad,
+                last_obs_birth=carry.last_obs_birth,
             )
         )(hyp_vel, hyp_rad))
         vo_now = jnp.array(False)
@@ -238,11 +247,17 @@ def track_step(
 
     m, obs_after = jax.lax.cond(need_kf, with_kf, without_kf, m)
 
+    # capture the birth stamps alongside the carried ids (from the POST-step
+    # map, so stamps are consistent with whatever the mapping phase did)
+    birth_after = jnp.where(
+        obs_after >= 0,
+        m.pt_birth[jnp.clip(obs_after, 0, m.max_pt - 1)], 0)
     carry_out = TrackCarry(
         Tcw=new_Tcw,
         velocity=new_velocity,
         last_frame=frame,
         last_obs_pt=obs_after,
+        last_obs_birth=birth_after,
         frame_id=carry.frame_id + 1,
         last_kf_frame_id=jnp.where(need_kf, carry.frame_id, carry.last_kf_frame_id),
         prev_inliers=jnp.where(ok, lres.n_inliers, carry.prev_inliers),
@@ -570,8 +585,11 @@ def init_rgbd(config: SlamConfig, m: MapState, image: jnp.ndarray,
     frame = frame_mod.make_frame_rgbd(config, image, depth)
     m, kf_id = tracking.initialize_depth(config, m, frame, jnp.int32(0), timestamp)
     carry = init_carry(config, frame)
+    obs0 = m.kf_obs_pt[kf_id]
     carry = carry._replace(
-        last_obs_pt=m.kf_obs_pt[kf_id],
+        last_obs_pt=obs0,
+        last_obs_birth=jnp.where(
+            obs0 >= 0, m.pt_birth[jnp.clip(obs0, 0, m.max_pt - 1)], 0),
         frame_id=jnp.int32(1),
         prev_inliers=jnp.sum(frame.has_depth()).astype(jnp.int32),
     )
@@ -584,8 +602,11 @@ def init_stereo(config: SlamConfig, m: MapState, image_l: jnp.ndarray,
     frame = frame_mod.make_frame_stereo(config, image_l, image_r)
     m, kf_id = tracking.initialize_depth(config, m, frame, jnp.int32(0), timestamp)
     carry = init_carry(config, frame)
+    obs0 = m.kf_obs_pt[kf_id]
     carry = carry._replace(
-        last_obs_pt=m.kf_obs_pt[kf_id],
+        last_obs_pt=obs0,
+        last_obs_birth=jnp.where(
+            obs0 >= 0, m.pt_birth[jnp.clip(obs0, 0, m.max_pt - 1)], 0),
         frame_id=jnp.int32(1),
         prev_inliers=jnp.sum(frame.has_depth()).astype(jnp.int32),
     )

@@ -80,15 +80,25 @@ def track_motion(
     last_frame: FrameData,
     last_obs_pt: jnp.ndarray,
     search_radius: jnp.ndarray,
+    *,
+    last_obs_birth: jnp.ndarray | None = None,
 ) -> TrackResult:
     """Constant-velocity tracking (reference Tracking::TrackWithMotionModel
-    src/Tracking.cc:1353-1440)."""
+    src/Tracking.cc:1353-1440).
+
+    last_obs_birth: pt_birth stamps captured with last_obs_pt — carried ids
+    whose slot was culled and reallocated to a DIFFERENT point since capture
+    are dropped (CheckReplacedInLastFrame analogue, reference
+    src/Tracking.cc:1152; MapPoint::Replace src/MapPoint.cc:244).  None
+    skips the guard (profiling tools)."""
     cam = config.camera
     scale_factors = jnp.asarray(config.orb.scale_factors())
     Tcw_pred = velocity @ Tcw_last
 
     pt_ids = last_obs_pt
     pt_ok = (pt_ids >= 0) & m.pt_valid[jnp.clip(pt_ids, 0, m.max_pt - 1)]
+    if last_obs_birth is not None:
+        pt_ok &= m.pt_birth[jnp.clip(pt_ids, 0, m.max_pt - 1)] == last_obs_birth
     pts_w = m.pt_pos[jnp.clip(pt_ids, 0, m.max_pt - 1)]
     pc = pts_w @ Tcw_pred[:3, :3].T + Tcw_pred[:3, 3]
     uv, z = project(cam, pc)
@@ -140,6 +150,8 @@ def track_motion_loc(
     last_frame: FrameData,
     last_obs_pt: jnp.ndarray,
     search_radius: jnp.ndarray,
+    *,
+    last_obs_birth: jnp.ndarray | None = None,
 ) -> TrackResultVO:
     """Localization-mode motion tracking with temporal "visual odometry"
     points (reference Tracking::UpdateLastFrame src/Tracking.cc:1247-1350 +
@@ -160,6 +172,8 @@ def track_motion_loc(
     pt_ids = last_obs_pt
     cl = jnp.clip(pt_ids, 0, m.max_pt - 1)
     map_ok = (pt_ids >= 0) & m.pt_valid[cl]
+    if last_obs_birth is not None:  # slot-reuse guard (see track_motion)
+        map_ok &= m.pt_birth[cl] == last_obs_birth
 
     # temporal VO candidates: depth-sorted close features of the LAST frame
     # without a live map point (reference Tracking.cc:1301-1345: every

@@ -151,10 +151,13 @@ class FleetTracker:
             reloc = rl(m, frame, sub)
             carry = pipeline.init_carry(self.config, frame)
             success = bool(reloc.success)
+            obs_r = jnp.where(success, reloc.obs_pt, carry.last_obs_pt)
             carry = carry._replace(
                 Tcw=jnp.where(success, reloc.Tcw, jnp.eye(4)),
-                last_obs_pt=jnp.where(success, reloc.obs_pt,
-                                      carry.last_obs_pt),
+                last_obs_pt=obs_r,
+                last_obs_birth=jnp.where(
+                    obs_r >= 0,
+                    m.pt_birth[jnp.clip(obs_r, 0, m.max_pt - 1)], 0),
                 frame_id=jnp.int32(1),
                 state_ok=jnp.array(success),
             )
