@@ -478,24 +478,13 @@ def correct_loop(
     # would pull the map straight back to the drifted configuration.
     m = _search_and_fuse_loop(config, m, kf_id, det)
 
-    # ---- global bundle adjustment (reference RunGlobalBundleAdjustment,
-    # LoopClosing.cc:880: 10 iterations after every loop closure).  The dense
-    # Schur assembly scales with max_kf * max_pt; maps beyond the dense gate
-    # run the sharded GBA from LoopCloser.process instead (never skipped).
-    if config.tracking.enable_loop_gba and m.max_kf * m.max_pt <= 4 * 1024 * 1024:
-        from ..ops.optim.bundle_adjust import bundle_adjust
-
-        obs_uvr = jnp.concatenate([m.kf_xy, m.kf_uright[..., None]], axis=-1)
-        sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level]
-        kf_free = m.kf_valid & (jnp.arange(m.max_kf) != det.cand_kf) & (
-            jnp.arange(m.max_kf) != 0
-        )
-        ba = bundle_adjust(
-            config.camera, m.kf_Tcw, m.pt_pos, m.kf_obs_pt, obs_uvr, sigma2,
-            m.kf_feat_valid & m.kf_valid[:, None], kf_free, m.pt_valid,
-            n_iters_pre=4, n_iters_post=6, ur_weight=config.ur_weight,
-        )
-        m = m._replace(kf_Tcw=ba.kf_Tcw, pt_pos=ba.pt_pos)
+    # Global bundle adjustment is NOT part of this program: the reference
+    # runs GBA in a detached 5th thread with abort semantics
+    # (RunGlobalBundleAdjustment, LoopClosing.cc:880, spawn at :797) so a
+    # loop correction never stalls tracking for the GBA duration.  Our
+    # analogue: LoopCloser dispatches global_bundle_adjust on a SNAPSHOT of
+    # this corrected map and merges the result back later (merge_gba), while
+    # the chunk stream keeps tracking on the pose-graph-corrected map.
 
     # fuse rebound observations above: refresh the cached incidence/counts
     return ms.rebuild_incidence(m)
@@ -506,10 +495,30 @@ def _needs_sharded_gba(config: SlamConfig, m: MapState) -> bool:
             and m.max_kf * m.max_pt > 4 * 1024 * 1024)
 
 
-def run_sharded_gba(config: SlamConfig, m: MapState, anchor_kf) -> MapState:
-    """Post-loop global BA for maps too big for the dense in-graph path —
-    the reference never skips GBA (LoopClosing.cc:880).  Uses the sharded
-    Schur BA over all available devices (fine on one device too)."""
+def global_bundle_adjust(config: SlamConfig, m: MapState, anchor_kf):
+    """Post-loop global BA (reference RunGlobalBundleAdjustment,
+    LoopClosing.cc:880: 10 iterations after every loop closure).  Jittable;
+    runs on a SNAPSHOT of the corrected map so the stream keeps tracking
+    while it executes.  Returns (kf_Tcw, pt_pos) arrays for merge_gba."""
+    from ..ops.optim.bundle_adjust import bundle_adjust
+
+    obs_uvr = jnp.concatenate([m.kf_xy, m.kf_uright[..., None]], axis=-1)
+    sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level]
+    kf_free = m.kf_valid & (jnp.arange(m.max_kf) != anchor_kf) & (
+        jnp.arange(m.max_kf) != 0
+    )
+    ba = bundle_adjust(
+        config.camera, m.kf_Tcw, m.pt_pos, m.kf_obs_pt, obs_uvr, sigma2,
+        m.kf_feat_valid & m.kf_valid[:, None], kf_free, m.pt_valid,
+        n_iters_pre=4, n_iters_post=6, ur_weight=config.ur_weight,
+    )
+    return ba.kf_Tcw, ba.pt_pos
+
+
+def run_sharded_gba(config: SlamConfig, m: MapState, anchor_kf):
+    """Sharded-Schur variant of global_bundle_adjust for maps too big for
+    the dense assembly — the reference never skips GBA (LoopClosing.cc:880).
+    All available devices (fine on one).  Returns (kf_Tcw, pt_pos)."""
     from ..parallel.distributed_ba import distributed_bundle_adjust
     from ..parallel.mesh import MeshSpec, make_mesh
 
@@ -530,7 +539,71 @@ def run_sharded_gba(config: SlamConfig, m: MapState, anchor_kf) -> MapState:
         add(kf_free), add(m.pt_valid), n_iters=10,
         ur_weight=config.ur_weight,
     )
-    return m._replace(kf_Tcw=res.kf_Tcw[0], pt_pos=res.pt_pos[0])
+    return res.kf_Tcw[0], res.pt_pos[0]
+
+
+def merge_gba(
+    m: MapState,
+    snap_kf_seq: jnp.ndarray,    # [K] kf seq numbers at GBA launch
+    snap_pt_birth: jnp.ndarray,  # [P] point birth stamps at GBA launch
+    gba_kf_Tcw: jnp.ndarray,     # [K, 4, 4] GBA result (snapshot slot space)
+    gba_pt_pos: jnp.ndarray,     # [P, 3]
+) -> MapState:
+    """Fold an asynchronously-computed GBA result into the LIVE map.
+
+    The reference's GBA thread does exactly this write-back under the map
+    mutex (RunGlobalBundleAdjustment, LoopClosing.cc:897-1010): keyframes
+    that were IN the GBA take their optimized poses; keyframes created while
+    GBA ran are corrected through the spanning tree
+    (T_child_new = T_child * T_parent^-1 * T_parent_new, applied root-down);
+    map points in the GBA take their optimized positions, newer points are
+    remapped through their reference keyframe's correction.
+
+    Slot reuse during GBA is guarded by SEQ (keyframes) / birth stamps
+    (points): a slot rebound to different content since the snapshot simply
+    does not match and is treated as new."""
+    K = m.max_kf
+
+    def find_snap(seq):
+        j = jnp.argmax(snap_kf_seq == seq).astype(jnp.int32)
+        ok = (snap_kf_seq[j] == seq) & (seq >= 0)
+        return j, ok
+
+    j_of, in_snap = jax.vmap(find_snap)(m.kf_seq)
+    in_snap &= m.kf_valid
+    T_live = m.kf_Tcw
+    T_target = jnp.where(in_snap[:, None, None], gba_kf_Tcw[j_of], T_live)
+
+    # keyframes created during GBA: parent-chain correction, processed in
+    # increasing seq order (the spanning tree's parent-strictly-older
+    # invariant makes one ordered pass sufficient, like the reference's
+    # root-down list walk)
+    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_seq, jnp.int32(1 << 30)))
+
+    def body(T_new, slot):
+        pseq = m.kf_tree_parent_seq[slot]
+        pslot = jnp.argmax(m.kf_seq == pseq).astype(jnp.int32)
+        p_ok = (m.kf_seq[pslot] == pseq) & m.kf_valid[pslot] & (pseq >= 0)
+        T_corr = T_live[slot] @ se3.inverse(T_live[pslot]) @ T_new[pslot]
+        need = m.kf_valid[slot] & ~in_snap[slot] & p_ok
+        T_new = T_new.at[slot].set(jnp.where(need, T_corr, T_new[slot]))
+        return T_new, None
+
+    T_new, _ = jax.lax.scan(body, T_target, order)
+
+    # points: GBA result where the slot still holds the same point, else
+    # remap through the reference keyframe's correction (LoopClosing.cc:
+    # 975-1007: p' = T_new_ref^-1 (T_old_ref p))
+    pt_in_snap = (snap_pt_birth == m.pt_birth) & m.pt_valid
+    ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    M_ref = jax.vmap(lambda Tn, Tl: se3.inverse(Tn) @ Tl)(
+        T_new[ref], T_live[ref])
+    p_corr = jnp.einsum("pij,pj->pi", M_ref[:, :3, :3], m.pt_pos) \
+        + M_ref[:, :3, 3]
+    pt_pos_new = jnp.where(
+        pt_in_snap[:, None], gba_pt_pos,
+        jnp.where(m.pt_valid[:, None], p_corr, m.pt_pos))
+    return m._replace(kf_Tcw=T_new, pt_pos=pt_pos_new)
 
 
 class LoopCloser:
@@ -557,6 +630,15 @@ class LoopCloser:
         # detections are stale and must be discarded — the inner COOLDOWN
         # check does that only while MAX_DETECT < COOLDOWN holds
         assert self.MAX_DETECT < COOLDOWN
+        # In-flight asynchronous global BA (reference runs GBA in a detached
+        # 5th thread, LoopClosing.cc:797,880): after a correction fires, GBA
+        # is dispatched on a snapshot and merged back via merge_gba when its
+        # result is ready; a newer correction ABORTS (discards) the stale
+        # in-flight GBA — the mbStopGBA analogue (LoopClosing.cc:586-593).
+        self._pending_gba = None
+        # wall-clock of the last correction's synchronous host-side cost and
+        # its GBA in-flight span (for the bench stall record)
+        self.last_gba_info: dict = {}
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
             self._jit_detect_many = jax.jit(jax.vmap(
@@ -565,6 +647,10 @@ class LoopCloser:
             self._jit_correct = jax.jit(
                 functools.partial(correct_loop, config), donate_argnums=0
             )
+            self._jit_gba = jax.jit(
+                functools.partial(global_bundle_adjust, config),
+                donate_argnums=0)
+            self._jit_merge = jax.jit(merge_gba, donate_argnums=0)
 
     def warmup(self, m: MapState) -> None:
         """Pre-compile the streaming detection + correction programs against
@@ -583,7 +669,17 @@ class LoopCloser:
         det0 = jax.tree.map(lambda x: x[0], dets)
         scratch = jax.tree.map(jnp.copy, m)
         out = self._jit_correct(scratch, jnp.int32(0), det0)
-        jax.block_until_ready(out.kf_Tcw)
+        # pre-compile the async-GBA pair too: a mid-stream compile when the
+        # first loop fires would stall the pipeline for seconds
+        if self.config.tracking.enable_loop_gba \
+                and not _needs_sharded_gba(self.config, out):
+            snap = jax.tree.map(jnp.copy, out)
+            gba_T, gba_p = self._jit_gba(snap, jnp.int32(0))
+            merged = self._jit_merge(out, jnp.copy(out.kf_seq),
+                                     jnp.copy(out.pt_birth), gba_T, gba_p)
+            jax.block_until_ready(merged.kf_Tcw)
+        else:
+            jax.block_until_ready(out.kf_Tcw)
 
     def process(self, m: MapState, kf_id) -> MapState:
         return self.process_group(m, [int(kf_id)])
@@ -632,18 +728,68 @@ class LoopCloser:
             self._pending_dets.append((part, dets, small, rebase))
 
     def pending(self) -> int:
-        return len(self._pending_dets)
+        return len(self._pending_dets) + (self._pending_gba is not None)
+
+    def _dispatch_gba(self, m: MapState, anchor_kf: int) -> None:
+        """Launch global BA on a snapshot of the (pose-graph-corrected) map;
+        the stream keeps tracking on `m` while it runs.  The reference's
+        detached GBA thread (LoopClosing.cc:797)."""
+        import time as _t
+
+        if not self.config.tracking.enable_loop_gba:
+            return
+        snap_seq = jnp.copy(m.kf_seq)
+        snap_birth = jnp.copy(m.pt_birth)
+        if _needs_sharded_gba(self.config, m):
+            path = "sharded"
+            gba_T, gba_p = run_sharded_gba(self.config, m, anchor_kf)
+        else:
+            path = "dense"
+            snap = jax.tree.map(jnp.copy, m)
+            gba_T, gba_p = self._jit_gba(snap, jnp.int32(anchor_kf))
+        self._pending_gba = dict(
+            snap_seq=snap_seq, snap_birth=snap_birth,
+            gba_T=gba_T, gba_p=gba_p, path=path, t0=_t.perf_counter())
+
+    def _merge_pending_gba(self, m: MapState, fired: list, block: bool):
+        """Fold a finished in-flight GBA back into the live map (reference
+        write-back under the map mutex, LoopClosing.cc:897-1010)."""
+        import time as _t
+
+        import numpy as np
+
+        g = self._pending_gba
+        if g is None:
+            return m
+        if not block and not (g["gba_T"].is_ready() and g["gba_p"].is_ready()):
+            return m
+        self._pending_gba = None
+        # carry re-base payload: the newest keyframe's pose BEFORE the merge
+        # (the live tracking state hangs off it; System re-bases by its delta)
+        slot = int(ms.latest_kf(m))
+        pose_before = np.asarray(m.kf_Tcw[slot])
+        m = self._jit_merge(m, g["snap_seq"], g["snap_birth"],
+                            g["gba_T"], g["gba_p"])
+        self.last_gba_info = {
+            "gba_path": g["path"],
+            "gba_inflight_ms": round((_t.perf_counter() - g["t0"]) * 1e3, 1),
+        }
+        fired.append((slot, pose_before))
+        return m
 
     def resolve(self, m: MapState, block: bool = False):
-        """Consume finished detections (all of them when block=True): run
-        covisibility-consistency chaining on host and fire corrections.
-        Returns (map, fired) where fired lists the `rebase` payloads of the
-        dispatch groups whose correction fired (for carry re-basing)."""
+        """Consume finished detections and any finished in-flight GBA (all
+        of them when block=True): run covisibility-consistency chaining on
+        host, fire corrections, dispatch + merge asynchronous GBA.
+        Returns (map, fired) where fired lists (kf_slot, kf_Tcw_before)
+        re-base payloads for carry correction (None entries possible for
+        corrections dispatched without one)."""
         import numpy as np
 
         fired = []
         if not self.enabled:
             return m, fired
+        m = self._merge_pending_gba(m, fired, block=False)
         th = self.config.tracking.loop_consistency_th
         while self._pending_dets:
             part, dets, small, rebase = self._pending_dets[0]
@@ -670,12 +816,17 @@ class LoopCloser:
                     new_groups.append((groups[c], chain))
                 self._consistent_groups = new_groups
                 if bool(found_a[i]) and chains[int(best_a[i])] >= th:
+                    # a NEWER loop correction aborts any stale in-flight GBA
+                    # (reference mbStopGBA, LoopClosing.cc:586-593) — its
+                    # result would overwrite the new correction
+                    self._pending_gba = None
                     det_i = jax.tree.map(lambda x: x[i], dets)
                     m = self._jit_correct(m, jnp.int32(s), det_i)
-                    if _needs_sharded_gba(self.config, m):
-                        m = run_sharded_gba(self.config, m, int(cand_a[i]))
+                    self._dispatch_gba(m, int(cand_a[i]))
                     self.last_loop_kf = counter
                     self.n_big_changes += 1
                     self._consistent_groups = []
                     fired.append(rebase)
+        if block:
+            m = self._merge_pending_gba(m, fired, block=True)
         return m, fired
