@@ -141,12 +141,42 @@ class System:
             self._loop_closer = LoopCloser(cfg)
 
     def warm_start(self) -> None:
-        """Pre-compile the loop-closing programs (detection + correction) so
-        the first real detection never stalls the live stream — the runtime
-        analogue of the reference's seconds-long ORBvoc load at startup
-        (src/System.cc:77-89).  Optional; everything also compiles lazily."""
+        """Pre-compile the loop-closing programs (detection + correction +
+        async GBA) AND prime the streaming pipeline — the runtime analogue
+        of the reference's seconds-long ORBvoc load at startup
+        (src/System.cc:77-89).  Optional; everything also compiles lazily,
+        but without priming the first timed window of a stream pays the
+        scan compile plus the tunnel's transfer ramp (measured 8 fps vs 39
+        steady-state in round 4)."""
         if self._loop_closer is not None and self._loop_closer.enabled:
             self._loop_closer.warmup(self.map)
+        if self.config.sensor in ("rgbd", "stereo"):
+            self._prime_stream()
+
+    def _prime_stream(self) -> None:
+        """Compile the chunked frame+scan programs and push two dummy packed
+        chunks through upload + both dispatches on scratch state, covering
+        the jit compiles and the transfer-pipeline ramp before the first
+        real frame arrives.  The dummy chunks carry valid=False so the scan
+        takes only its skip branches (compilation covers both)."""
+        sensor = self.config.sensor
+        cam = self.config.camera
+        H, W = int(cam.height), int(cam.width)
+        C = self._batch_chunk
+        per_frame = (3 * H * W + 8) if sensor == "rgbd" else (2 * H * W + 8)
+        frame_fn = self._frame_fns[sensor]
+        scan = self._scan_fns[(sensor, self.localization_only)]
+        host_buf = np.zeros((C, per_frame), np.uint8)
+        m = ms.empty_map(self.config)
+        carry = None
+        for _ in range(2):
+            buf = jnp.asarray(host_buf)
+            frames, ts, valid = frame_fn(buf)
+            if carry is None:
+                frame0 = jax.tree.map(lambda x: x[0], frames)
+                carry = pipeline.init_carry(self.config, frame0)
+            m, carry, packed = scan(m, carry, frames, ts, valid)
+        jax.block_until_ready(packed)
 
     # ------------------------------------------------------------- public API
 
@@ -202,161 +232,37 @@ class System:
             timestamps, chunk, pipeline.pack_stereo_chunk,
         )
 
+    def open_stream(self, sensor: str, chunk: Optional[int] = None):
+        """Open a persistent streaming session (models/streaming.py): feed()
+        chunks for the lifetime of a run without the per-call pipeline
+        teardown the one-shot batch API implies.  The reference analogue is
+        the standing Tracking thread + its queues (src/System.cc:116-145).
+        At most one session may be active at a time (the map is donated
+        through each chunk)."""
+        from .streaming import StreamSession
+
+        return StreamSession(self, sensor, chunk)
+
     def _track_batch(self, sensor: str, arrays: tuple, timestamps: np.ndarray,
                      chunk: Optional[int], pack) -> np.ndarray:
-        """Chunked streaming batch tracker.
+        """Chunked streaming batch tracker (one-shot wrapper around a
+        StreamSession: feed everything, finish, return the poses).
 
-        Frames go to the device in fixed-size chunks (ONE compiled program for
-        every chunk; the final chunk is padded with in-graph-skipped frames).
-        Each chunk's inputs are packed into ONE uint8 buffer — the tunnel
-        pays ~2.7ms latency per transfer, so one buffer beats four arrays.
-        Dispatch is asynchronous, so chunk k+1's host->device transfer
-        overlaps chunk k's compute — on a remote-attached TPU this hides most
-        of the wire time, which otherwise costs more than the tracking itself.
-        The per-frame summaries are concatenated ON DEVICE and fetched once at
-        the end (each fetched buffer costs a full round trip on a
-        remote-attached TPU; separate np.asarray calls measured ~75-100ms
-        each over the tunnel)."""
-        i0 = 0
-        if self.state == STATE_NOT_INITIALIZED:
-            first = tuple(jnp.asarray(a[0], jnp.float32) *
-                          (jnp.float32(1e-3) if a.dtype == np.uint16 else
-                           jnp.float32(1.0))
-                          for a in arrays)
-            self._track(sensor, first, float(timestamps[0]))
-            i0 = 1
-            if self.state == STATE_NOT_INITIALIZED:
-                raise RuntimeError("initialization failed on first frame")
-        if i0 >= len(timestamps):
-            return np.asarray(self.Tcw)[None]
+        Frames go to the device in fixed-size chunks (ONE compiled program
+        for every chunk; only the final chunk is padded).  Each chunk's
+        inputs are packed into ONE uint8 buffer — the tunnel pays ~2.7ms
+        latency per transfer, so one buffer beats four arrays.  Dispatch is
+        asynchronous, so chunk k+1's host->device transfer overlaps chunk
+        k's compute.  Per-frame summaries are fetched via bounded ASYNC
+        device->host copies (each blocking fetch costs a full round trip on
+        a remote-attached TPU; measured ~75-100ms over the tunnel)."""
         t0 = time.perf_counter()
-        batch = self._batches[(sensor, self.localization_only)]
-        arrays = tuple(a[i0:] for a in arrays)
-        ts = np.asarray(timestamps[i0:], np.float32)
-        B = len(ts)
-        C = chunk or min(B, self._batch_chunk)
-        # Per-CHUNK-GROUP loop closing (reference LoopClosing consumes its
-        # queue within ~one keyframe of insertion, src/LoopClosing.cc:114-130):
-        # when place recognition is enabled, StepInfo is fetched every
-        # `stride` chunks (ONE device-side concat + ONE transfer — each D2H
-        # fetch mid-stream stalls the tunnel exactly like the uploads do,
-        # measured ~100fps -> ~35fps when fetching every chunk) and any
-        # created keyframes run loop detection then — corrections land
-        # within ~stride chunks of keyframe creation instead of after the
-        # entire batch.
-        per_chunk_loops = (self._loop_closer is not None
-                           and self._loop_closer.enabled)
-        stride = max(1, int(os.environ.get("SLAM_LOOP_CHUNK_STRIDE", "4")))
-        # Upload scheduling: the tunnel serializes live host->device
-        # transfers with executions and charges a per-transfer stall (round-3
-        # measurement at 640x480: interleaved upload+dispatch ~11.5 ms/frame
-        # vs 3.8 ms/frame with device-resident inputs, raw bandwidth
-        # ~1 GB/s).  SLAM_UPLOAD_CHUNKS>1 uploads that many chunks per burst
-        # before dispatching them — fewer stalls but the burst serializes
-        # ahead of compute; on this tunnel the interleaved default (1) wins
-        # at small frames and ties at 640x480, so bursts stay opt-in.
-        S = max(1, int(os.environ.get("SLAM_UPLOAD_CHUNKS", "1")))
-        ks = list(range(0, B, C))
-        packed_parts = []
-        pending = []
-        device_bufs: dict[int, jnp.ndarray] = {}
-
-        def upload(k):
-            n_live = min(C, B - k)
-            pad = C - n_live
-
-            def sl(x):
-                xs = x[k:k + n_live]
-                if pad:
-                    xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
-                return xs
-
-            valid = np.zeros(C, bool)
-            valid[:n_live] = True
-            return jnp.asarray(pack(*(sl(a) for a in arrays), sl(ts), valid))
-
-        # In-flight StepInfo fetches: each chunk-group's packed infos (plus a
-        # kf_seq/kf_valid snapshot for slot re-resolution) start an ASYNC
-        # device-to-host copy at dispatch and are consumed once is_ready()
-        # — the stream never blocks on a mid-run fetch (round-3 weakness:
-        # the stride fetch drained the transfer pipeline, one measured
-        # window collapsed to 1 fps).  Backlog is bounded at MAX_INFLIGHT
-        # groups, after which the oldest is consumed blocking.
-        inflight: list[tuple] = []
-        MAX_INFLIGHT = 3
-
-        def enqueue_infos(cat):
-            # device-copy the tiny slot tables: the live map's buffers get
-            # DONATED to the next chunk's scan, which would delete the
-            # snapshot out from under the async fetch
-            snap = (jnp.copy(self.map.kf_seq), jnp.copy(self.map.kf_valid))
-            for x in (cat, *snap):
-                x.copy_to_host_async()
-            inflight.append((cat, snap))
-
-        def drain_infos(force=False):
-            while inflight:
-                cat, snap = inflight[0]
-                ready = cat.is_ready() and all(x.is_ready() for x in snap)
-                if not ready and not (force or len(inflight) > MAX_INFLIGHT):
-                    break
-                inflight.pop(0)
-                packed_parts.append(self._consume_chunk_infos(cat, snap))
-            # fold in any loop detections that finished
-            if self._loop_closer is not None and self._loop_closer.pending():
-                self.map, fired = self._loop_closer.resolve(self.map,
-                                                            block=force)
-                for rb in fired:
-                    if rb is not None:
-                        self._apply_correction_to_carry(*rb)
-
-        for i, k in enumerate(ks):
-            if k not in device_bufs:
-                # upload the next S chunks in one burst BEFORE dispatching
-                # them: back-to-back transfers amortize the stall
-                for kk in ks[i : i + S]:
-                    device_bufs[kk] = upload(kk)
-            n_live = min(C, B - k)
-            pad = C - n_live
-            self.map, self.carry, packed = batch(
-                self.map, self.carry, device_bufs.pop(k),
-            )
-            packed = packed if not pad else packed[:n_live]
-            if per_chunk_loops:
-                pending.append(packed)
-                if len(pending) >= stride:
-                    cat = (pending[0] if len(pending) == 1
-                           else jnp.concatenate(pending, axis=0))
-                    enqueue_infos(cat)
-                    pending = []
-                drain_infos()
-            else:
-                packed_parts.append(packed)
-        if per_chunk_loops:
-            if pending:
-                cat = (pending[0] if len(pending) == 1
-                       else jnp.concatenate(pending, axis=0))
-                enqueue_infos(cat)
-            drain_infos(force=True)
-            packed_all = np.concatenate(packed_parts, axis=0)
-        else:
-            packed_all = np.asarray(
-                packed_parts[0] if len(packed_parts) == 1
-                else jnp.concatenate(packed_parts, axis=0))
-        infos = pipeline.unpack_infos(packed_all)
-        poses, refs, ref_poses, created, state_ok = (
-            infos.Tcw, infos.ref_kf_seq, infos.ref_kf_Tcw, infos.created_kf,
-            infos.state_ok,
-        )
-        for b in range(B):
-            tsb = float(ts[b])
-            self.trajectory.append((tsb, poses[b]))
-            self._rel_trajectory.append(
-                (tsb, int(refs[b]), poses[b] @ np.linalg.inv(ref_poses[b]))
-            )
-        self.Tcw = jnp.asarray(poses[-1])
-        self.state = STATE_OK if bool(state_ok[-1]) else STATE_LOST
-        self.vo_mode = bool(infos.vo[-1])
+        sess = self.open_stream(sensor, chunk)
+        sess.feed(arrays, timestamps)
+        poses = sess.finish()
+        if len(poses) == 0:
+            return np.asarray(self.Tcw)[None]
+        B = len(poses)
         dt = (time.perf_counter() - t0) / max(B, 1)
         self.timings.extend([dt] * B)
         return poses
@@ -570,7 +476,16 @@ class System:
                         Tcw=reloc.Tcw,
                         velocity=jnp.eye(4),
                         last_obs_pt=reloc.obs_pt,
+                        last_obs_birth=jnp.where(
+                            reloc.obs_pt >= 0,
+                            self.map.pt_birth[jnp.clip(
+                                reloc.obs_pt, 0, self.map.max_pt - 1)], 0),
                         state_ok=jnp.array(True),
+                        # mbVO clears on relocalization success (reference
+                        # Tracking.cc:623) — a stale True would keep
+                        # want_reloc asserted in localization mode, letting
+                        # EPnP override good local-map tracking every frame
+                        vo=jnp.array(False),
                     )
                     self.Tcw = reloc.Tcw
                     self.state = STATE_OK
