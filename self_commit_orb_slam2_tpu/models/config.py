@@ -120,6 +120,12 @@ class SlamConfig(NamedTuple):
     # None disables place recognition (reference requires ORBvoc.txt at
     # startup, System.cc:77-89 — here it is optional).
     vocab: object = None
+    # Stereo undistort-rectify maps (mx_l, my_l, mx_r, my_r), float32 [H, W]
+    # each, applied ON DEVICE to both eyes before extraction (the reference's
+    # EuRoC path remaps with cv::remap before tracking,
+    # Examples/Stereo/stereo_euroc.cc:45-80 region; maps from
+    # utils/rectify.init_undistort_rectify_map).  None = input pre-rectified.
+    rect_maps: object = None
 
     @property
     def ur_weight(self) -> float:

@@ -69,12 +69,28 @@ def make_frame_rgbd(
     )
 
 
+def _rectify_pair(config: SlamConfig, image_l: jnp.ndarray,
+                  image_r: jnp.ndarray):
+    """Apply the configured undistort-rectify maps to both eyes on device
+    (reference EuRoC path: cv::remap per eye before tracking,
+    Examples/Stereo/stereo_euroc.cc:45-80 region).  No-op when unset."""
+    if config.rect_maps is None:
+        return image_l, image_r
+    from ..utils.rectify import remap_bilinear_jnp
+
+    mxl, myl, mxr, myr = (jnp.asarray(a, jnp.float32)
+                          for a in config.rect_maps)
+    return (remap_bilinear_jnp(image_l, mxl, myl),
+            remap_bilinear_jnp(image_r, mxr, myr))
+
+
 def make_frame_stereo(
     config: SlamConfig, image_l: jnp.ndarray, image_r: jnp.ndarray
 ) -> FrameData:
     """Stereo frame: extract both eyes, row-band match for depth (reference
     Frame stereo ctor src/Frame.cc:108-237)."""
     cam = config.camera
+    image_l, image_r = _rectify_pair(config, image_l, image_r)
     # both eyes through ONE extraction kernel chain (double level-batch); the
     # padded pyramid slabs feed the SAD matcher without a pyramid rebuild
     # (reference builds each eye's pyramid once too, Frame ctor)
@@ -130,6 +146,9 @@ def make_frames_stereo_batch(
     matcher.  See make_frames_rgbd_batch."""
     cam = config.camera
     B, H, W = images_l.shape
+    if config.rect_maps is not None:
+        images_l, images_r = jax.vmap(
+            lambda il, ir: _rectify_pair(config, il, ir))(images_l, images_r)
     # contiguous [left-block; right-block] layout: the per-eye splits below
     # are free slices — the interleaved layout's stride-2 gathers on the
     # [2B, slab] pyramid cost ~5 ms/frame at KITTI width (round-4 profile)

@@ -84,6 +84,32 @@ def remap_bilinear(image: np.ndarray, map_x: np.ndarray,
     return np.where(any_ok, out, 0.0).astype(np.float32)
 
 
+def remap_bilinear_jnp(image, map_x, map_y):
+    """Device-side bilinear remap (jittable twin of remap_bilinear): the
+    EuRoC frame path applies the two per-eye rectification maps ON DEVICE
+    before extraction (reference remaps with cv::remap before tracking,
+    Examples/Stereo/stereo_euroc.cc:45-80 region) — a memory-bound gather
+    that XLA fuses with the pyramid's level-0 reads."""
+    import jax.numpy as jnp
+
+    h, w = image.shape[-2:]
+    x0 = jnp.floor(map_x).astype(jnp.int32)
+    y0 = jnp.floor(map_y).astype(jnp.int32)
+    fx = (map_x - x0).astype(jnp.float32)
+    fy = (map_y - y0).astype(jnp.float32)
+
+    def sample(yy, xx):
+        ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        val = image[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(ok, val, 0.0)
+
+    out = (sample(y0, x0) * (1 - fx) * (1 - fy)
+           + sample(y0, x0 + 1) * fx * (1 - fy)
+           + sample(y0 + 1, x0) * (1 - fx) * fy
+           + sample(y0 + 1, x0 + 1) * fx * fy)
+    return out
+
+
 class StereoRectifier:
     """Holds both cameras' maps; call .rectify(left, right) per pair."""
 

@@ -143,3 +143,70 @@ RIGHT.P: !!opencv-matrix
     img = np.ones((24, 32), np.float32)
     out_l, out_r = rect.rectify(img, img)
     np.testing.assert_allclose(out_l[1:-1, 1:-1], 1.0, atol=1e-4)
+
+
+def test_on_device_rectified_stereo_tracking():
+    """rect_maps in SlamConfig: both RAW eyes carry a small mounting
+    rotation; the on-device remap (models/frame._rectify_pair) must recover
+    the ideal row-aligned pair and the full stereo pipeline must track it
+    (the reference's EuRoC preprocessing, stereo_euroc.cc:45-80 region,
+    moved into the jitted frame path)."""
+    import numpy as np
+
+    from self_commit_orb_slam2_tpu.models.config import (
+        Capacities, SlamConfig, TrackingConfig,
+    )
+    from self_commit_orb_slam2_tpu.models.system import System
+    from self_commit_orb_slam2_tpu.ops.camera import CameraParams
+    from self_commit_orb_slam2_tpu.ops.orb.extractor import OrbConfig
+    from self_commit_orb_slam2_tpu.utils.evaluation import ate_rmse
+    from self_commit_orb_slam2_tpu.utils.rectify import (
+        init_undistort_rectify_map,
+    )
+    from self_commit_orb_slam2_tpu.utils.synthetic import (
+        lookat_trajectory, make_room,
+    )
+
+    W, H, FX, BASELINE, N = 320, 240, 260.0, 0.1, 14
+
+    def rotvec(v):
+        th = np.linalg.norm(v)
+        k = np.asarray(v) / th
+        Kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                       [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+
+    rng = np.random.default_rng(7)
+    scene = make_room(rng)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    poses = lookat_trajectory(N)
+    R_l = rotvec([0.006, -0.012, 0.004])
+    R_r = rotvec([-0.008, 0.009, -0.003])
+    T_l, T_r, T_rl = np.eye(4), np.eye(4), np.eye(4)
+    T_l[:3, :3], T_r[:3, :3], T_rl[0, 3] = R_l, R_r, -BASELINE
+    il, ir = [], []
+    for i in range(N):
+        il.append(scene.render(K, T_l @ poses[i], W, H)[0])
+        ir.append(scene.render(K, T_r @ T_rl @ poses[i], W, H)[0])
+    D = np.zeros(4)
+    maps = (*init_undistort_rectify_map(K, D, R_l.T, K, W, H),
+            *init_undistort_rectify_map(K, D, R_r.T, K, W, H))
+    rect_maps = (maps[0], maps[1], maps[2], maps[3])
+
+    cam = CameraParams.create(fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                              bf=FX * BASELINE, width=W, height=H)
+    cfg = SlamConfig(
+        camera=cam, orb=OrbConfig(n_features=500),
+        caps=Capacities(max_keyframes=32, max_points=8192,
+                        local_points=512),
+        tracking=TrackingConfig(max_frames_between_kf=6),
+        sensor="stereo", rect_maps=rect_maps,
+    )
+    slam = System(cfg)
+    slam.track_batch_stereo(np.stack(il), np.stack(ir),
+                            np.arange(N) / 20.0)
+    assert slam.state == 1, "tracking lost on rectified stereo"
+    _, est = slam.get_trajectory()
+    ate = ate_rmse(est, poses[: len(est)])
+    print(f"on-device-rectified stereo ATE: {ate*100:.2f} cm")
+    assert ate < 0.05
