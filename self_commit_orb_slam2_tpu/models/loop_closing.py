@@ -217,7 +217,14 @@ def detect_and_verify(
         nb_best = jnp.argmax(jnp.where(nb_is_cand, scores[nbi], -jnp.inf))
         use_nb = nb_is_cand[nb_best] & (scores[nbi[nb_best]] > scores[k])
         best_kf = jnp.where(use_nb, nbi[nb_best], k)
-        group = jnp.zeros(m.max_kf, bool).at[nbi].set(nb_is_cand)
+        # CONSISTENCY group = the candidate's whole covisibility
+        # neighborhood (reference spCandidateGroup =
+        # GetConnectedKeyFrames() + itself, LoopClosing.cc:253) — NOT just
+        # co-candidates: consecutive keyframes retrieve adjacent candidates
+        # whose neighborhoods overlap, and that overlap is what chains.
+        # (The accumulated SCORE above still sums co-candidates only,
+        # KeyFrameDatabase.cc:180-239.)
+        group = jnp.zeros(m.max_kf, bool).at[nbi].set(nbv > 0)
         group = group.at[k].set(True)
         return acc, best_kf.astype(jnp.int32), group
 
@@ -515,6 +522,42 @@ def global_bundle_adjust(config: SlamConfig, m: MapState, anchor_kf):
     return ba.kf_Tcw, ba.pt_pos
 
 
+# GBA iteration schedule for the SLICED async path: huber-weighted GN first
+# (the reference's stage 1, Optimizer.cc:863), then plain GN on the
+# chi2-gated observation set (stage 2, :916) — same 4+6 budget as the
+# one-shot path, but each slice is its own device dispatch, so queued chunk
+# scans interleave between iterations instead of stalling ~1-2s behind one
+# monolithic GBA program.  This is the single-device analogue of the
+# reference's detached GBA thread sharing cores with Tracking.
+GBA_SLICES = [True] * 4 + [False] * 6
+
+
+def global_bundle_adjust_slice(
+    config: SlamConfig, m: MapState, kf_Tcw, pt_pos, anchor_kf,
+    huber: bool,
+):
+    """ONE Gauss-Newton iteration of the post-loop GBA, threading the
+    evolving (poses, points) state through repeated calls against the fixed
+    observation snapshot `m`.  huber=True slices weight residuals robustly
+    (stage 1); huber=False slices re-gate outliers by chi2 from the current
+    state then iterate plainly (stage 2)."""
+    from ..ops.optim.bundle_adjust import bundle_adjust
+
+    obs_uvr = jnp.concatenate([m.kf_xy, m.kf_uright[..., None]], axis=-1)
+    sigma2 = jnp.asarray(config.orb.sigma2())[m.kf_level]
+    kf_free = m.kf_valid & (jnp.arange(m.max_kf) != anchor_kf) & (
+        jnp.arange(m.max_kf) != 0
+    )
+    ba = bundle_adjust(
+        config.camera, kf_Tcw, pt_pos, m.kf_obs_pt, obs_uvr, sigma2,
+        m.kf_feat_valid & m.kf_valid[:, None], kf_free, m.pt_valid,
+        n_iters_pre=1 if huber else 0,
+        n_iters_post=0 if huber else 1,
+        ur_weight=config.ur_weight,
+    )
+    return ba.kf_Tcw, ba.pt_pos
+
+
 def run_sharded_gba(config: SlamConfig, m: MapState, anchor_kf):
     """Sharded-Schur variant of global_bundle_adjust for maps too big for
     the dense assembly — the reference never skips GBA (LoopClosing.cc:880).
@@ -625,6 +668,14 @@ class LoopCloser:
         # one batched chunk-group detect in ONE device call + ONE fetch (on
         # a remote-attached TPU every fetch stalls the stream)
         self.MAX_DETECT = 4
+        # detection groups allowed to queue before the oldest is consumed
+        # blocking (see resolve: stale corrections are worse than a small
+        # sync — the older a Sim3 measurement, the further the map has
+        # drifted since, and the correction injects that delta as error)
+        self.MAX_PENDING_DETS = 1
+        # corrections older than this many keyframes are discarded at fire
+        # time (their Sim3 no longer describes the live map)
+        self.STALE_DETECTION_KFS = 16
         # group detections are computed against ONE pre-correction map
         # snapshot; after a mid-group correction fires, the remaining
         # detections are stale and must be discarded — the inner COOLDOWN
@@ -639,6 +690,12 @@ class LoopCloser:
         # wall-clock of the last correction's synchronous host-side cost and
         # its GBA in-flight span (for the bench stall record)
         self.last_gba_info: dict = {}
+        # SLAM_LOOP_DEBUG=1: record per-detection gate values (found,
+        # inliers, proj count, chain length) for harness diagnosis
+        import os as _os
+
+        self.debug = _os.environ.get("SLAM_LOOP_DEBUG") == "1"
+        self.debug_log: list = []
         if self.enabled:
             self._jit_detect = jax.jit(functools.partial(detect_and_verify, config))
             self._jit_detect_many = jax.jit(jax.vmap(
@@ -647,9 +704,14 @@ class LoopCloser:
             self._jit_correct = jax.jit(
                 functools.partial(correct_loop, config), donate_argnums=0
             )
-            self._jit_gba = jax.jit(
-                functools.partial(global_bundle_adjust, config),
-                donate_argnums=0)
+            # sliced GBA: one GN iteration per dispatch (huber / plain
+            # variants), threading (poses, points) through donated buffers
+            self._jit_gba_slice = {
+                h: jax.jit(functools.partial(global_bundle_adjust_slice,
+                                             config, huber=h),
+                           donate_argnums=(1, 2))
+                for h in (True, False)
+            }
             self._jit_merge = jax.jit(merge_gba, donate_argnums=0)
 
     def warmup(self, m: MapState) -> None:
@@ -666,15 +728,22 @@ class LoopCloser:
         subs = jax.random.split(key, self.MAX_DETECT)
         slots = jnp.zeros(self.MAX_DETECT, jnp.int32)
         dets = self._jit_detect_many(m, slots, subs)
+        # ... and the width-1 signature dispatch_group uses for single-KF
+        # groups (its first mid-stream compile measured a 10s stall)
+        self._jit_detect_many(m, slots[:1], subs[:1])
         det0 = jax.tree.map(lambda x: x[0], dets)
         scratch = jax.tree.map(jnp.copy, m)
         out = self._jit_correct(scratch, jnp.int32(0), det0)
-        # pre-compile the async-GBA pair too: a mid-stream compile when the
-        # first loop fires would stall the pipeline for seconds
+        # pre-compile the async-GBA programs too (both slice variants + the
+        # merge): a mid-stream compile when the first loop fires would stall
+        # the pipeline for seconds
         if self.config.tracking.enable_loop_gba \
                 and not _needs_sharded_gba(self.config, out):
             snap = jax.tree.map(jnp.copy, out)
-            gba_T, gba_p = self._jit_gba(snap, jnp.int32(0))
+            gba_T, gba_p = jnp.copy(out.kf_Tcw), jnp.copy(out.pt_pos)
+            for huber in (True, False):
+                gba_T, gba_p = self._jit_gba_slice[huber](
+                    snap, gba_T, gba_p, jnp.int32(0))
             merged = self._jit_merge(out, jnp.copy(out.kf_seq),
                                      jnp.copy(out.pt_birth), gba_T, gba_p)
             jax.block_until_ready(merged.kf_Tcw)
@@ -723,6 +792,8 @@ class LoopCloser:
                                          jnp.stack(subs))
             small = (dets.found, dets.best_c, dets.groups, dets.group_ok,
                      dets.cand_kf)
+            if self.debug:
+                small = small + (dets.n_inliers, dets.n_proj)
             for x in small:
                 x.copy_to_host_async()
             self._pending_dets.append((part, dets, small, rebase))
@@ -733,23 +804,44 @@ class LoopCloser:
     def _dispatch_gba(self, m: MapState, anchor_kf: int) -> None:
         """Launch global BA on a snapshot of the (pose-graph-corrected) map;
         the stream keeps tracking on `m` while it runs.  The reference's
-        detached GBA thread (LoopClosing.cc:797)."""
+        detached GBA thread (LoopClosing.cc:797).  The dense path runs
+        SLICED — one GN iteration per resolve() call — so each dispatch is
+        small and queued chunk scans interleave on the device instead of
+        stalling behind one monolithic GBA program (~1-2s at 96KF/16k pts)."""
         import time as _t
 
         if not self.config.tracking.enable_loop_gba:
             return
-        snap_seq = jnp.copy(m.kf_seq)
-        snap_birth = jnp.copy(m.pt_birth)
+        g = dict(
+            snap_seq=jnp.copy(m.kf_seq), snap_birth=jnp.copy(m.pt_birth),
+            t0=_t.perf_counter(), anchor=int(anchor_kf))
         if _needs_sharded_gba(self.config, m):
-            path = "sharded"
-            gba_T, gba_p = run_sharded_gba(self.config, m, anchor_kf)
+            g["path"] = "sharded"
+            g["gba_T"], g["gba_p"] = run_sharded_gba(self.config, m, anchor_kf)
+            g["phase"] = len(GBA_SLICES)
         else:
-            path = "dense"
-            snap = jax.tree.map(jnp.copy, m)
-            gba_T, gba_p = self._jit_gba(snap, jnp.int32(anchor_kf))
-        self._pending_gba = dict(
-            snap_seq=snap_seq, snap_birth=snap_birth,
-            gba_T=gba_T, gba_p=gba_p, path=path, t0=_t.perf_counter())
+            g["path"] = "dense"
+            g["snap"] = jax.tree.map(jnp.copy, m)
+            g["gba_T"] = jnp.copy(m.kf_Tcw)
+            g["gba_p"] = jnp.copy(m.pt_pos)
+            g["phase"] = 0
+        self._pending_gba = g
+
+    def _advance_gba(self, block: bool = False) -> None:
+        """Advance the sliced GBA by one iteration (all remaining when
+        block=True)."""
+        g = self._pending_gba
+        if g is None or g["phase"] >= len(GBA_SLICES):
+            return
+        while g["phase"] < len(GBA_SLICES):
+            huber = GBA_SLICES[g["phase"]]
+            g["gba_T"], g["gba_p"] = self._jit_gba_slice[huber](
+                g["snap"], g["gba_T"], g["gba_p"], jnp.int32(g["anchor"]))
+            g["phase"] += 1
+            if not block:
+                break
+        if g["phase"] >= len(GBA_SLICES):
+            g.pop("snap", None)   # release the observation snapshot
 
     def _merge_pending_gba(self, m: MapState, fired: list, block: bool):
         """Fold a finished in-flight GBA back into the live map (reference
@@ -760,6 +852,10 @@ class LoopCloser:
 
         g = self._pending_gba
         if g is None:
+            return m
+        if block:
+            self._advance_gba(block=True)
+        if g["phase"] < len(GBA_SLICES):
             return m
         if not block and not (g["gba_T"].is_ready() and g["gba_p"].is_ready()):
             return m
@@ -789,15 +885,27 @@ class LoopCloser:
         fired = []
         if not self.enabled:
             return m, fired
+        self._advance_gba()   # one sliced-GBA iteration per resolve call
         m = self._merge_pending_gba(m, fired, block=False)
         th = self.config.tracking.loop_consistency_th
         while self._pending_dets:
             part, dets, small, rebase = self._pending_dets[0]
-            if not block and not all(x.is_ready() for x in small):
+            # Bounded backlog: on the remote tunnel is_ready() may not turn
+            # true without a sync, so a pure poll lets detections pile up
+            # and resolve only at the final forced drain — where firing a
+            # backlog of STALE Sim3 measurements (computed against maps many
+            # keyframes ago) bends the since-drifted map catastrophically
+            # (observed: six end-of-run corrections took a 1.3m-ATE run to
+            # 17.9m).  Consume the oldest group blocking once more than
+            # MAX_PENDING_DETS are queued; the fetches are tiny.
+            ready = all(x.is_ready() for x in small)
+            if not block and not ready \
+                    and len(self._pending_dets) <= self.MAX_PENDING_DETS:
                 break
             self._pending_dets.pop(0)
             found_a, best_a, groups_a, gok_a, cand_a = (
-                np.asarray(x) for x in small)
+                np.asarray(x) for x in small[:5])
+            dbg = ([np.asarray(x) for x in small[5:]] if self.debug else None)
             for i, (counter, s) in enumerate(part):
                 if counter - self.last_loop_kf < COOLDOWN:
                     continue  # an earlier keyframe in this group just fired
@@ -815,7 +923,24 @@ class LoopCloser:
                     chains[c] = chain
                     new_groups.append((groups[c], chain))
                 self._consistent_groups = new_groups
+                if self.debug:
+                    self.debug_log.append({
+                        "kf_counter": counter,
+                        "lag": self._kf_counter - counter,
+                        "found": bool(found_a[i]),
+                        "chain": int(chains[int(best_a[i])]),
+                        "cand": int(cand_a[i]),
+                        "n_groups": int(np.sum(gok_a[i])),
+                        "n_inliers": int(dbg[0][i]) if dbg else -1,
+                        "n_proj": int(dbg[1][i]) if dbg else -1,
+                    })
                 if bool(found_a[i]) and chains[int(best_a[i])] >= th:
+                    # staleness guard: a detection's Sim3 was measured
+                    # against the map as of its dispatch; if many keyframes
+                    # have landed since (end-of-run force drain), applying
+                    # it would bend a map that has already moved on
+                    if self._kf_counter - counter > self.STALE_DETECTION_KFS:
+                        continue
                     # a NEWER loop correction aborts any stale in-flight GBA
                     # (reference mbStopGBA, LoopClosing.cc:586-593) — its
                     # result would overwrite the new correction

@@ -169,7 +169,10 @@ class System:
         host_buf = np.zeros((C, per_frame), np.uint8)
         m = ms.empty_map(self.config)
         carry = None
-        for _ in range(2):
+        # several rounds: the remote tunnel's transfer path ramps with data
+        # volume (TCP-style), so a single dummy upload leaves the first real
+        # window under-ramped
+        for _ in range(6):
             buf = jnp.asarray(host_buf)
             frames, ts, valid = frame_fn(buf)
             if carry is None:

@@ -366,6 +366,40 @@ def lookat_trajectory(
     return np.stack(poses).astype(np.float32)
 
 
+def circle_trajectory(
+    n_frames: int,
+    radius: float = 1.8,
+    frames_per_rev: int = 160,
+    center: np.ndarray | None = None,
+    face_offset: float = 0.5,
+) -> np.ndarray:
+    """Camera driving a closed circle, facing `face_offset` radians OUTWARD
+    of the tangent — the KITTI-00-style loop scenario: continuous forward
+    translation with a lateral component relative to the view direction
+    (parallax for mono init), each sector left behind and revisited exactly
+    one revolution later.  Radius must clear the room's central panel
+    cluster (~1.1 m half-extent).  Returns Tcw [n, 4, 4]."""
+    if center is None:
+        center = np.array([0.0, 0.0, 3.0])
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / frames_per_rev
+        c = center + np.array([radius * np.sin(th), 0.0,
+                               -radius * np.cos(th)])
+        a = th + face_offset   # view yaw = tangent rotated outward
+        z_axis = np.array([np.cos(a), 0.0, np.sin(a)])
+        x_axis = np.cross(np.array([0.0, 1.0, 0.0]), z_axis)
+        x_axis = x_axis / np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        Rwc = np.stack([x_axis, y_axis, z_axis], axis=1)
+        Rcw = Rwc.T
+        T = np.eye(4)
+        T[:3, :3] = Rcw
+        T[:3, 3] = -Rcw @ c
+        poses.append(T)
+    return np.stack(poses).astype(np.float32)
+
+
 def spin_trajectory(
     n_frames: int,
     center: np.ndarray | None = None,
