@@ -102,10 +102,29 @@ def main():
     base_blk = widths[0]
     _, t1 = results[base_blk]
     print("\nweak-scaling efficiency vs blk=%d (ideal: flat time):" % base_blk)
+    table = []
     for blk in widths:
         P, t = results[blk]
         eff = t1 / t
         print(f"  blk={blk:3d}: {eff*100:6.1f}%  ({t*1e3:.2f} ms for {P} pts)")
+        table.append({"devices": blk, "points": P, "ms": round(t * 1e3, 2),
+                      "efficiency_pct": round(eff * 100, 1)})
+    # persist as the weak-scaling artifact the default bench attaches
+    # (BENCH extra.weak_scaling); refreshed whenever this script runs
+    import json
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    with open(out, "w") as f:
+        json.dump({
+            "kind": "weak_scaling_distributed_ba",
+            "per_device_points": args.per_dev_points,
+            "kfs": args.kfs, "obs_per_kf": args.obs_per_kf,
+            "iters": args.iters,
+            "backend": str(jax.devices()[0]),
+            "table": table,
+        }, f, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
