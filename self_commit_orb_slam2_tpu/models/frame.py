@@ -185,3 +185,18 @@ def make_frame_mono(config: SlamConfig, image: jnp.ndarray) -> FrameData:
         level=feats.level, desc=feats.desc, valid=feats.valid,
         u_right=jnp.full(n, -1.0), depth=jnp.full(n, -1.0),
     )
+
+
+def make_frames_mono_batch(config: SlamConfig, images: jnp.ndarray) -> FrameData:
+    """Mono frames for a whole chunk ([B, H, W] -> FrameData with leading
+    batch dim); see make_frames_rgbd_batch."""
+    feats, _ = orb_extractor.extract_batch(images, config.orb)
+    cam = config.camera
+    xy_und = (jax.vmap(lambda xy: undistort_points(cam, xy))(feats.xy)
+              if cam.has_distortion else feats.xy)
+    B, n = feats.xy.shape[:2]
+    return FrameData(
+        xy=xy_und, xy_raw=feats.xy, response=feats.response, angle=feats.angle,
+        level=feats.level, desc=feats.desc, valid=feats.valid,
+        u_right=jnp.full((B, n), -1.0), depth=jnp.full((B, n), -1.0),
+    )

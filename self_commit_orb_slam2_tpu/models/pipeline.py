@@ -546,6 +546,35 @@ def frames_stereo_packed(config: SlamConfig, buf: jnp.ndarray):
     return frames, ts, valid
 
 
+def frames_mono_packed(config: SlamConfig, buf: jnp.ndarray):
+    """Mono variant of frames_rgbd_packed.  Layout per frame (matches
+    pack_mono_chunk): [H*W image u8][4 ts f32][4 valid u8]."""
+    cam = config.camera
+    H, W = int(cam.height), int(cam.width)
+    B = buf.shape[0]
+    images = buf[:, : H * W].reshape(B, H, W)
+    ts = jax.lax.bitcast_convert_type(
+        buf[:, H * W : H * W + 4], jnp.float32
+    )
+    valid = buf[:, H * W + 4] > 0
+    frames = frame_mod.make_frames_mono_batch(
+        config, images.astype(jnp.float32))
+    return frames, ts, valid
+
+
+def pack_mono_chunk(images_u8, ts_f32, valid_b):
+    """Host-side packer matching frames_mono_packed's layout (numpy)."""
+    import numpy as np
+
+    B = images_u8.shape[0]
+    parts = [
+        images_u8.reshape(B, -1),
+        np.asarray(ts_f32, "<f4").view(np.uint8).reshape(B, 4),
+        np.repeat(valid_b.astype(np.uint8)[:, None], 4, axis=1),
+    ]
+    return np.concatenate(parts, axis=1)
+
+
 def batch_steps_frames(config: SlamConfig, m: MapState, carry: TrackCarry,
                        frames: FrameData, timestamps: jnp.ndarray,
                        valid: jnp.ndarray,

@@ -46,8 +46,9 @@ class StreamSession:
     def __init__(self, system, sensor: str, chunk: Optional[int] = None):
         self.sys = system
         self.sensor = sensor
-        self.pack = (pipeline.pack_rgbd_chunk if sensor == "rgbd"
-                     else pipeline.pack_stereo_chunk)
+        self.pack = {"rgbd": pipeline.pack_rgbd_chunk,
+                     "stereo": pipeline.pack_stereo_chunk,
+                     "mono": pipeline.pack_mono_chunk}[sensor]
         self.C = int(chunk or system._batch_chunk)
         self.loc = system.localization_only  # frozen at open
         self.batch = system._batches[(sensor, self.loc)]
@@ -77,14 +78,22 @@ class StreamSession:
         i0 = 0
         if self.sys.state == STATE_NOT_INITIALIZED and self.n_fed == 0 \
                 and self._tail is None:
-            first = tuple(
-                jnp.asarray(a[0], jnp.float32)
-                * (jnp.float32(1e-3) if a.dtype == np.uint16 else jnp.float32(1.0))
-                for a in arrays)
-            self.sys._track(self.sensor, first, float(ts[0]))
-            i0 = 1
+            # bootstrap through the per-frame path: one frame for
+            # stereo/RGB-D, possibly several for the monocular two-frame
+            # init (which keeps restarting until parallax suffices)
+            while self.sys.state == STATE_NOT_INITIALIZED and i0 < len(ts):
+                first = tuple(
+                    jnp.asarray(a[i0], jnp.float32)
+                    * (jnp.float32(1e-3) if a.dtype == np.uint16
+                       else jnp.float32(1.0))
+                    for a in arrays)
+                self.sys._track(self.sensor, first, float(ts[i0]))
+                i0 += 1
+                if self.sensor != "mono" \
+                        and self.sys.state == STATE_NOT_INITIALIZED:
+                    raise RuntimeError("initialization failed on first frame")
             if self.sys.state == STATE_NOT_INITIALIZED:
-                raise RuntimeError("initialization failed on first frame")
+                return  # mono: keep bootstrapping on the next feed
         if i0 >= len(ts):
             return
         if self._tail is None:

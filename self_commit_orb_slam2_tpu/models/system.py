@@ -91,11 +91,12 @@ class System:
         self._frame_fns = {
             "rgbd": jax.jit(functools.partial(pipeline.frames_rgbd_packed, cfg)),
             "stereo": jax.jit(functools.partial(pipeline.frames_stereo_packed, cfg)),
+            "mono": jax.jit(functools.partial(pipeline.frames_mono_packed, cfg)),
         }
         self._scan_fns = {}
         self._batches = {}
         for loc in (False, True):
-            for sensor in ("rgbd", "stereo"):
+            for sensor in ("rgbd", "stereo", "mono"):
                 scan = jax.jit(
                     functools.partial(pipeline.batch_steps_frames, cfg,
                                       localization_only=loc,
@@ -150,8 +151,7 @@ class System:
         steady-state in round 4)."""
         if self._loop_closer is not None and self._loop_closer.enabled:
             self._loop_closer.warmup(self.map)
-        if self.config.sensor in ("rgbd", "stereo"):
-            self._prime_stream()
+        self._prime_stream()
 
     def _prime_stream(self) -> None:
         """Compile the chunked frame+scan programs and push two dummy packed
@@ -163,7 +163,8 @@ class System:
         cam = self.config.camera
         H, W = int(cam.height), int(cam.width)
         C = self._batch_chunk
-        per_frame = (3 * H * W + 8) if sensor == "rgbd" else (2 * H * W + 8)
+        per_frame = {"rgbd": 3 * H * W + 8, "stereo": 2 * H * W + 8,
+                     "mono": H * W + 8}[sensor]
         frame_fn = self._frame_fns[sensor]
         scan = self._scan_fns[(sensor, self.localization_only)]
         host_buf = np.zeros((C, per_frame), np.uint8)
@@ -233,6 +234,18 @@ class System:
             (np.clip(images_l, 0, 255).astype(np.uint8),
              np.clip(images_r, 0, 255).astype(np.uint8)),
             timestamps, chunk, pipeline.pack_stereo_chunk,
+        )
+
+    def track_batch_mono(self, images: np.ndarray, timestamps: np.ndarray,
+                         chunk: Optional[int] = None) -> np.ndarray:
+        """Monocular throughput mode (see track_batch_rgbd).  The two-frame
+        bootstrap runs through the per-frame path until the map initializes
+        (possibly consuming several leading frames); the rest stream in
+        chunks."""
+        return self._track_batch(
+            "mono",
+            (np.clip(images, 0, 255).astype(np.uint8),),
+            timestamps, chunk, pipeline.pack_mono_chunk,
         )
 
     def open_stream(self, sensor: str, chunk: Optional[int] = None):

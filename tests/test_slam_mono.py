@@ -76,3 +76,30 @@ def test_mono_tracking_ref_scale():
     print(f"mono ref-scale ATE: {ate*100:.2f}cm init_lag={init_lag} "
           f"kf={slam.n_keyframes()} pts={slam.n_points()}")
     assert ate < 0.06, f"mono ref-scale ATE {ate:.3f}m"
+
+
+@pytest.mark.slow
+def test_mono_batch_streaming_matches_per_frame():
+    """track_batch_mono: bootstrap consumes leading frames through the
+    per-frame path, the rest stream in chunks; trajectory must match the
+    per-frame API's (same compiled step, same chunk math)."""
+    n = 30
+    seq = generate_sequence(n_frames=n, width=320, height=240, seed=5)
+
+    ref = System(make_mono_config())
+    for i in range(n):
+        ref.track_monocular(seq.images[i], float(seq.timestamps[i]))
+    assert ref.state == STATE_OK
+
+    slam = System(make_mono_config())
+    poses = slam.track_batch_mono(seq.images, seq.timestamps)
+    assert slam.state == STATE_OK, "mono streaming lost tracking"
+    assert len(poses) > 0
+    _, est = slam.get_trajectory()
+    _, est_ref = ref.get_trajectory()
+    assert len(est) == len(est_ref)
+    k = len(est)
+    ate = ate_rmse(est, seq.poses_gt[n - k:], with_scale=True)
+    ate_r = ate_rmse(est_ref, seq.poses_gt[n - k:], with_scale=True)
+    print(f"mono stream ATE={ate*100:.2f}cm per-frame={ate_r*100:.2f}cm")
+    assert ate < 0.08
