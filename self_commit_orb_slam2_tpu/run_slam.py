@@ -166,7 +166,12 @@ def main(argv=None):
     track = {"rgbd": slam.track_rgbd, "stereo": slam.track_stereo,
              "mono": slam.track_monocular}[sensor]
     t0 = time.time()
-    if args.batch and sensor in ("rgbd", "stereo"):
+    if args.batch and sensor == "mono":
+        a = np.stack([f[0] for f in frames])
+        ts = np.array([f[1] for f in frames])
+        for s in range(0, len(frames), args.batch):
+            slam.track_batch_mono(a[s:s + args.batch], ts[s:s + args.batch])
+    elif args.batch and sensor in ("rgbd", "stereo"):
         a = np.stack([f[0] for f in frames])
         b = np.stack([f[1] for f in frames])
         ts = np.array([f[2] for f in frames])
