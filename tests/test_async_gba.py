@@ -129,3 +129,54 @@ def test_async_gba_fires_in_stream_and_merges():
     assert slam._loop_closer.last_gba_info.get("gba_path") == "dense"
     assert slam._loop_closer._pending_gba is None
     assert slam.state == 1
+
+
+@pytest.mark.slow
+def test_sliced_gba_converges_like_one_shot():
+    """The sliced path (one GN iteration per dispatch, per-slice chi2
+    re-gating) must reduce map error comparably to the one-shot 4+6
+    program it replaces."""
+    from self_commit_orb_slam2_tpu.models.loop_closing import (
+        GBA_SLICES, global_bundle_adjust, global_bundle_adjust_slice,
+    )
+
+    seq = generate_sequence(n_frames=16, width=320, height=240, seed=5)
+    slam = _system_after(seq, 16)
+    m = slam.map
+    cfg = slam.config
+
+    # perturb poses+points so GBA has real work
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    m_noisy = m._replace(
+        kf_Tcw=m.kf_Tcw.at[:, :3, 3].add(
+            0.01 * jax.random.normal(k1, m.kf_Tcw[:, :3, 3].shape)),
+        pt_pos=m.pt_pos + 0.01 * jax.random.normal(k2, m.pt_pos.shape),
+    )
+
+    def mean_reproj(mm, T, p):
+        from self_commit_orb_slam2_tpu.ops.camera import project
+        ok = mm.kf_valid[:, None] & mm.kf_feat_valid & (mm.kf_obs_pt >= 0)
+        pid = jnp.clip(mm.kf_obs_pt, 0, mm.max_pt - 1)
+        pw = p[pid]
+        pc = jnp.einsum("kij,knj->kni", T[:, :3, :3], pw) + T[:, None, :3, 3]
+        uv, z = jax.vmap(lambda x: project(cfg.camera, x))(pc)
+        err = jnp.linalg.norm(uv - mm.kf_xy, axis=-1)
+        sel = ok & (z > 0)
+        return float(jnp.sum(jnp.where(sel, err, 0)) / jnp.maximum(
+            jnp.sum(sel), 1))
+
+    e0 = mean_reproj(m_noisy, m_noisy.kf_Tcw, m_noisy.pt_pos)
+    T1, p1 = global_bundle_adjust(cfg, m_noisy, jnp.int32(0))
+    e_one = mean_reproj(m_noisy, T1, p1)
+
+    T, p = jnp.copy(m_noisy.kf_Tcw), jnp.copy(m_noisy.pt_pos)
+    for huber in GBA_SLICES:
+        T, p = global_bundle_adjust_slice(cfg, m_noisy, T, p, jnp.int32(0),
+                                          huber=huber)
+    e_sliced = mean_reproj(m_noisy, T, p)
+    print(f"reproj err: init={e0:.3f} one-shot={e_one:.3f} "
+          f"sliced={e_sliced:.3f}")
+    assert e_sliced < 0.5 * e0, "sliced GBA failed to reduce map error"
+    assert e_sliced < e_one * 1.5 + 0.05, (
+        "sliced GBA converges much worse than the one-shot program")
